@@ -1,0 +1,86 @@
+"""Stage 2 — cls: content-vs-boilerplate span classification.
+
+Transplant of the 0°/180° orientation classifier (SURVEY.md §2.4):
+
+* K1 ``ClsResizeImg``: each span's text is mapped to a fixed-width
+  char-class code vector of width ``CLS_FEAT_W`` (= the {3,48,192} input
+  shape, ``src/ocr_cls.cpp:35``), truncating longer spans;
+* K2 zero-pad right (``src/ocr_cls.cpp:52-56``);
+* K3 batched forward in batches of ``CLS_BATCH`` = 8 (``src/ocr_cls.cpp:36-87``,
+  batch size tuned at ``src/ocr_worker.cpp:47``) — float64 matmul + softmax;
+* K4 argmax + max-score (``src/ocr_cls.cpp:88-99``);
+* K5 QUIRK: the live path acts on ``label == 1`` alone and never consults
+  ``cls_thresh=0.98`` (``src/ocr_worker.cpp:276-281`` vs ``:45``); we
+  replicate that — label 1 ⇒ span dropped regardless of score (dropping is
+  our analog of rotate-180: the "upside-down" class is boilerplate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import CLS_BATCH, CLS_FEAT_W
+from ..weights import CLS_B, CLS_CLASS_LOGITS, CLS_W
+from .detect import codepoints, ws_mask
+
+_SEP_CP = np.array([ord(c) for c in "|·•›»/"], dtype=np.uint32)
+
+
+def encode_char_classes(texts: list[str]) -> np.ndarray:
+    """Span texts → (n, CLS_FEAT_W) int8 char-class codes, zero-padded.
+
+    Codes: 0 pad, 1 lower, 2 upper, 3 digit, 4 space, 5 punct/other,
+    6 pipe/bullet separator (``| · • › » /``) — the separator class is the
+    telltale of link-bar boilerplate. Classes use ASCII ranges (vectorized);
+    non-ASCII letters fall into class 5, a documented simplification of K1's
+    channel mapping — deterministic on both the golden and Spark paths.
+    """
+    n = len(texts)
+    out = np.zeros((n, CLS_FEAT_W), dtype=np.int8)
+    if n == 0:
+        return out
+    clipped = [t[:CLS_FEAT_W] for t in texts]
+    lens = np.array([len(t) for t in clipped], dtype=np.int64)
+    cp = codepoints("".join(clipped))
+    if cp.size == 0:
+        return out
+    codes = np.full(cp.size, 5, dtype=np.int8)
+    codes[(cp >= 97) & (cp <= 122)] = 1
+    codes[(cp >= 65) & (cp <= 90)] = 2
+    codes[(cp >= 48) & (cp <= 57)] = 3
+    codes[ws_mask(cp)] = 4
+    codes[np.isin(cp, _SEP_CP)] = 6
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.concatenate([np.arange(l) for l in lens.tolist()])
+    out[rows, cols] = codes
+    return out
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    """Exact softmax (we deliberately skip the reference's ``fast_exp``
+    bit-trick, ``src/utility.cpp:350-357`` — documented deviation X7)."""
+    e = np.exp(x - x.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def classify_spans(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Batched cls forward → (labels int64, scores float64).
+
+    label 0 = content, 1 = boilerplate (the 180° class).
+    """
+    n = len(texts)
+    labels = np.zeros(n, dtype=np.int64)
+    scores = np.ones(n, dtype=np.float64)
+    if n == 0:
+        return labels, scores
+    codes = encode_char_classes(texts)
+    for beg in range(0, n, CLS_BATCH):  # K3 batch loop, src/ocr_cls.cpp:36-87
+        batch = codes[beg : beg + CLS_BATCH]
+        x = batch.astype(np.float64) / 6.0  # normalize codes to [0,1]
+        logits = x @ CLS_W + CLS_B
+        # structured per-class contribution via lookup (see weights.py)
+        logits = logits + CLS_CLASS_LOGITS[batch].sum(axis=1)
+        probs = _softmax(logits)
+        labels[beg : beg + CLS_BATCH] = probs.argmax(axis=1)
+        scores[beg : beg + CLS_BATCH] = probs.max(axis=1)
+    return labels, scores

@@ -1,0 +1,130 @@
+"""Stage 3 — rec: span text recognition with greedy CTC decode semantics.
+
+Transplant of the CRNN recognizer (SURVEY.md §2.5). The "glyph sequence" of a
+span is its raw HTML slice; recognition = entity decoding + whitespace
+normalization, expressed through the reference's exact CTC machinery so the
+collapse rules are the live semantics (``src/ocr_rec.cpp:96-128``):
+
+* R1 width-ratio argsort: spans sorted by sequence length ascending before
+  batching (``src/ocr_rec.cpp:35-40``, ``src/utility.cpp:192-203``) — the
+  pad-minimizing skew trick, preserved verbatim;
+* R4 batches of ``REC_BATCH`` = 16 (``src/ocr_rec.cpp:42-94``,
+  ``src/ocr_worker.cpp:60``);
+* R2 dynamic width: pad each batch only to its own longest sequence
+  (``max_wh_ratio``, ``src/ocr_rec.cpp:49-55``);
+* R6 vocab: blank ``"#"`` prepended, ``" "`` appended
+  (``include/paddle_ocr/ocr_rec.h:82-84``) — here the vocab is built
+  per batch from the observed codepoints (sorted → deterministic);
+* R5 greedy decode: keep timestep iff ``sym != blank`` and
+  ``sym != previous timestep's sym`` (repeat collapse); confidence = mean of
+  kept max-probs; zero kept timesteps ⇒ NaN ⇒ span skipped, slot keeps the
+  preallocated empty text (``src/ocr_rec.cpp:115-125``,
+  ``src/ocr_worker.cpp:286-287``);
+* R7 scatter: results written back at the original indices
+  (``src/ocr_rec.cpp:126-127``) — restores document order.
+
+Timestep encoding (the "model forward" stand-in): for each char of the
+entity-decoded span text — whitespace → the space symbol (consecutive
+whitespace collapses via the repeat rule); control/zero-width chars → blank
+(dropped); any other char → its symbol followed by one blank (so genuine
+repeated letters survive collapse, exactly like a real CTC emission).
+Output is therefore **batch-composition independent**: grouping spans into
+different batches cannot change texts or scores (byte-identity across
+partitionings, SURVEY.md §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import numpy as np
+
+from ..config import REC_BATCH
+from ..weights import rec_timestep_probs
+from .detect import codepoints, ws_mask
+
+# codepoints that emit a blank (dropped): C0/C1 controls, soft hyphen,
+# zero-width & directional marks, BOM.
+_DROP_LO = 32  # below this → control
+
+
+def _drop_mask(cp: np.ndarray) -> np.ndarray:
+    return (
+        (cp < _DROP_LO)
+        | (cp == 0x7F)
+        | (cp == 0xAD)
+        | ((cp >= 0x200B) & (cp <= 0x200F))
+        | (cp == 0xFEFF)
+    )
+
+
+def encode_timesteps(text: str) -> np.ndarray:
+    """Entity-decoded span text → uint32 codepoint timestep sequence.
+
+    0 marks a blank timestep. Whitespace → 32 (single space symbol, no
+    trailing blank); droppable chars → blank; other chars → char + blank.
+    """
+    decoded = _html.unescape(text)
+    cp = codepoints(decoded)
+    if cp.size == 0:
+        return np.zeros(0, dtype=np.uint32)
+    ws = ws_mask(cp)
+    drop = _drop_mask(cp) & ~ws  # \t \n \r are whitespace, not drops
+    sym = cp.copy()
+    sym[ws] = 32
+    sym[drop] = 0
+    # interleave a blank after every non-whitespace, non-dropped symbol
+    emit_blank = ~ws & ~drop
+    total = cp.size + int(emit_blank.sum())
+    out = np.zeros(total, dtype=np.uint32)
+    pos = np.arange(cp.size, dtype=np.int64) + np.cumsum(
+        np.concatenate(([0], emit_blank[:-1].astype(np.int64)))
+    )
+    out[pos] = sym
+    return out
+
+
+def ctc_greedy_batch(seqs: list[np.ndarray]) -> list[tuple[str, float]]:
+    """Decode one already-formed batch (R2/R5): dynamic-width pad + collapse."""
+    b = len(seqs)
+    if b == 0:
+        return []
+    width = max((s.size for s in seqs), default=0)
+    if width == 0:
+        return [("", 0.0)] * b
+    mat = np.zeros((b, width), dtype=np.uint32)  # pad with blank (R2)
+    for i, s in enumerate(seqs):
+        mat[i, : s.size] = s
+    probs = rec_timestep_probs(mat)
+    keep = mat != 0
+    keep[:, 1:] &= mat[:, 1:] != mat[:, :-1]  # repeat collapse (R5)
+    out: list[tuple[str, float]] = []
+    for i in range(b):
+        k = keep[i]
+        cnt = int(k.sum())
+        if cnt == 0:
+            out.append(("", 0.0))  # NaN-skip ⇒ preallocated default (R5)
+            continue
+        text = "".join(map(chr, mat[i, k].tolist()))
+        out.append((text, float(probs[i, k].mean())))
+    return out
+
+
+def recognize_spans(texts: list[str]) -> list[tuple[str, float]]:
+    """Full rec stage over a list of span texts (any number of pages).
+
+    Length-sort (R1) → batches of REC_BATCH (R4) → CTC decode (R5) →
+    scatter back to original order (R7).
+    """
+    n = len(texts)
+    if n == 0:
+        return []
+    seqs = [encode_timesteps(t) for t in texts]
+    order = sorted(range(n), key=lambda i: (seqs[i].size, i))  # R1, stable
+    results: list[tuple[str, float]] = [("", 0.0)] * n  # preallocation
+    for beg in range(0, n, REC_BATCH):  # R4
+        idx = order[beg : beg + REC_BATCH]
+        decoded = ctc_greedy_batch([seqs[i] for i in idx])
+        for i, r in zip(idx, decoded):  # R7 scatter
+            results[i] = r
+    return results

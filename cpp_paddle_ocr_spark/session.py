@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's tuned configuration.
+
+The analog of engine bring-up (SURVEY.md §3.2): where the reference
+configures MKLDNN/IR-optim/zero-copy per predictor
+(``src/ocr_det.cpp:64-87``), we configure Arrow batching, AQE and shuffle
+sizing once per session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Pages per Arrow record batch — the engine's master batch knob (X3): plays
+#: the role of ``rec_batch_num``/``cls_batch_num`` at the page level. 32 keeps
+#: worst-case batch bytes bounded (32 × 8 MiB cap = 256 MiB) while amortizing
+#: the JVM→Python Arrow channel.
+ARROW_BATCH_ROWS = 32
+
+
+def get_spark(
+    app_name: str = "cpp-paddle-ocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_BATCH_ROWS),
+        )
+        # python worker reuse keeps per-executor model weights warm (X4)
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

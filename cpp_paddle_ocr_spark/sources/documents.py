@@ -1,0 +1,60 @@
+"""Documents source: fixture generation + table readers (SURVEY.md §2.1).
+
+S1/S3 — the production source is a plain table scan
+(``spark.read.parquet`` / Iceberg when a catalog is configured); html arrives
+in-row as binary, so the reference's ``imread``/base64 decode collapses into
+the UTF-8 decode inside the extraction UDF (S2).
+
+For tests/benchmarks the fixture table is generated *distributed*: the pure
+generator ``fixtures.page(i)`` is keyed on the row id alone, so
+``spark.range`` + ``mapInPandas`` scales generation to any size without a
+driver-side loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fixtures import page
+from ..schemas import DOCUMENTS_SCHEMA
+
+
+def generate_documents(
+    spark: SparkSession,
+    n: int,
+    oversize_max: int = 16_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic documents table of ``n`` rows, generated in parallel."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [page(int(i), oversize_max) for i in pdf["id"]],
+                columns=[f.name for f in DOCUMENTS_SCHEMA.fields],
+            )
+
+    rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, DOCUMENTS_SCHEMA)
+
+
+def write_documents_parquet(
+    spark: SparkSession,
+    path: str,
+    n: int,
+    oversize_max: int = 16_000_000,
+    num_partitions: int | None = None,
+) -> None:
+    generate_documents(spark, n, oversize_max, num_partitions).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """S1: table scan. Parquet path or Iceberg table name both accepted."""
+    if "/" in path or path.endswith(".parquet"):
+        return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
+    return spark.read.table(path)
