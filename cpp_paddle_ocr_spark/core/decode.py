@@ -49,8 +49,10 @@ _DROP_LO = 32  # below this → control
 
 
 def _drop_mask(cp: np.ndarray) -> np.ndarray:
+    """Blank-emitting codepoints. \\t \\n \\r etc. (9-13) stay whitespace;
+    zero-width chars (incl. U+200B) are drops, taking precedence over ws."""
     return (
-        (cp < _DROP_LO)
+        ((cp < _DROP_LO) & ~((cp >= 9) & (cp <= 13)))
         | (cp == 0x7F)
         | (cp == 0xAD)
         | ((cp >= 0x200B) & (cp <= 0x200F))
@@ -68,8 +70,8 @@ def encode_timesteps(text: str) -> np.ndarray:
     cp = codepoints(decoded)
     if cp.size == 0:
         return np.zeros(0, dtype=np.uint32)
-    ws = ws_mask(cp)
-    drop = _drop_mask(cp) & ~ws  # \t \n \r are whitespace, not drops
+    drop = _drop_mask(cp)
+    ws = ws_mask(cp) & ~drop  # drops win over ws (e.g. U+200B)
     sym = cp.copy()
     sym[ws] = 32
     sym[drop] = 0

@@ -1,0 +1,67 @@
+"""Unit tests: cls stage (SURVEY.md §2.4 K1-K5)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cpp_paddle_ocr_spark.config import CLS_FEAT_W
+from cpp_paddle_ocr_spark.core.classify import classify_spans, encode_char_classes
+
+PROSE = [
+    "This is an ordinary readable sentence with several common words.",
+    "Viwi forici mohu cirica nuga dola dafeho pawado zica pini lucetusi.",
+    "The committee approved the proposal after a lengthy discussion period.",
+]
+BOILER = [
+    "READ MORE | SUBSCRIBE NOW | FOLLOW US",
+    "SHARE THIS | TWEET | PIN IT",
+    "TRENDING NOW | MOST READ | EDITOR PICKS",
+    "SIGN UP TODAY | FREE TRIAL | JOIN NOW",
+]
+
+
+def test_prose_is_content():
+    labels, scores = classify_spans(PROSE)
+    assert labels.tolist() == [0, 0, 0]
+    assert (scores > 0.5).all()
+
+
+def test_boilerplate_is_label_1():
+    labels, _ = classify_spans(BOILER)
+    assert labels.tolist() == [1, 1, 1, 1]
+
+
+def test_label_decides_regardless_of_score():
+    # K5 quirk: cls_thresh=0.98 configured but never consulted on the live
+    # path (src/ocr_worker.cpp:276-281 vs :45): even low-confidence label-1
+    # results are acted upon. Verify our scores ARE below 0.98 yet label
+    # still decides.
+    labels, scores = classify_spans(BOILER)
+    assert (labels == 1).all()
+    assert (scores < 0.98).any(), "quirk is only meaningful if scores dip below cls_thresh"
+
+
+def test_encode_shape_and_padding():
+    codes = encode_char_classes(["ab", "X" * 500])
+    assert codes.shape == (2, CLS_FEAT_W)
+    assert codes[0, 0] == 1 and codes[0, 1] == 1 and codes[0, 2] == 0  # K2 pad
+    assert (codes[1] == 2).all()  # truncated to width (K1)
+
+
+def test_encode_classes():
+    codes = encode_char_classes(["aA1 .|"])[0]
+    assert codes[:6].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_batching_does_not_change_results():
+    # K3 batches of 8: results must not depend on batch boundaries
+    texts = (PROSE + BOILER) * 3  # 21 spans -> 3 batches
+    l1, s1 = classify_spans(texts)
+    l2, s2 = classify_spans(texts[:8])
+    assert l1[:8].tolist() == l2.tolist()
+    assert np.array_equal(s1[:8], s2)
+
+
+def test_empty_input():
+    labels, scores = classify_spans([])
+    assert labels.size == 0 and scores.size == 0

@@ -1,0 +1,100 @@
+"""Unit tests: rec stage CTC semantics (SURVEY.md §2.5 R1-R8)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from cpp_paddle_ocr_spark.core.decode import (
+    ctc_greedy_batch,
+    encode_timesteps,
+    recognize_spans,
+)
+
+
+def decode_one(text: str) -> tuple[str, float]:
+    return recognize_spans([text])[0]
+
+
+def test_identity_on_clean_text():
+    t, score = decode_one("hello world")
+    assert t == "hello world"
+    assert 0.75 <= score < 1.0
+
+
+def test_whitespace_collapse():
+    # consecutive whitespace = repeated space symbol -> collapsed (R5)
+    assert decode_one("a  b\t\nc \t d")[0] == "a b c d"
+
+
+def test_repeat_letters_survive():
+    # blanks interleaved after non-ws symbols: genuine repeats preserved
+    assert decode_one("aa bb  cc")[0] == "aa bb cc"
+
+
+def test_entities_decoded():
+    assert decode_one("fish &amp; chips")[0] == "fish & chips"
+    assert decode_one("x&nbsp;&nbsp;y")[0] == "x y"  # nbsp -> ws -> collapse
+    assert decode_one("&lt;tag&gt;")[0] == "<tag>"
+
+
+def test_control_chars_dropped():
+    assert decode_one("a\x00\x01b​c­d")[0] == "abcd"
+
+
+def test_empty_and_all_dropped_spans():
+    # zero kept timesteps => NaN-skip => preallocated ("", 0.0) (R5)
+    assert decode_one("")[0] == ""
+    assert decode_one("\x00\x01") == ("", 0.0)
+
+
+def test_confidence_is_mean_of_kept_probs():
+    t, score = decode_one("ab")
+    from cpp_paddle_ocr_spark.weights import rec_timestep_probs
+
+    expect = rec_timestep_probs(np.array([ord("a"), ord("b")], np.uint32)).mean()
+    assert score == pytest.approx(float(expect))
+
+
+def test_batch_composition_independence():
+    # grouping spans into different batches must not change any result
+    # (byte-identity across partitionings, SURVEY.md §7 hard part 1)
+    rng = random.Random(7)
+    texts = [
+        "".join(rng.choice("ab c&;x  YZ\té") for _ in range(rng.randint(0, 40)))
+        for _ in range(100)
+    ]
+    ref = recognize_spans(texts)
+    for trial in range(3):
+        rng.shuffle(texts_idx := list(range(len(texts))))
+        # decode in shuffled order, then unshuffle
+        shuffled = [texts[i] for i in texts_idx]
+        got = recognize_spans(shuffled)
+        back = [None] * len(texts)
+        for pos, i in enumerate(texts_idx):
+            back[i] = got[pos]
+        assert back == ref
+
+
+def test_length_sort_scatter_back_roundtrip():
+    # R1 + R7: output order == input order even though processing is sorted
+    texts = ["dddd", "a", "ccc", "bb", ""]
+    out = recognize_spans(texts)
+    assert [t for t, _ in out] == ["dddd", "a", "ccc", "bb", ""]
+
+
+def test_dynamic_batch_width():
+    # R2: batch is padded to its own max only; decoding stays correct
+    seqs = [encode_timesteps(t) for t in ["a", "abcdef"]]
+    out = ctc_greedy_batch(seqs)
+    assert [t for t, _ in out] == ["a", "abcdef"]
+
+
+def test_encode_interleaves_blanks():
+    seq = encode_timesteps("ab")
+    # a, blank, b, blank
+    assert seq.tolist() == [ord("a"), 0, ord("b"), 0]
+    seq = encode_timesteps("a b")
+    assert seq.tolist() == [ord("a"), 0, 32, ord("b"), 0]

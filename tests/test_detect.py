@@ -1,0 +1,144 @@
+"""Unit tests: det stage (SURVEY.md §2.2 D1-D15, §2.6 O2/O3/O5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cpp_paddle_ocr_spark.config import (
+    DET_BOX_THRESH,
+    MIN_SPAN_CHARS,
+    NMS_IOU_THRESH,
+)
+from cpp_paddle_ocr_spark.core.detect import (
+    Span,
+    codepoints,
+    detect_page,
+    iou_1d,
+    nms,
+    score_tokens,
+    ws_mask,
+)
+from cpp_paddle_ocr_spark.core.html_parse import parse_blocks
+
+
+def run(doc: str):
+    return detect_page(doc, parse_blocks(doc))
+
+
+def test_prose_paragraph_detected_as_one_span():
+    doc = "<p>This is a plain sentence with several ordinary words inside.</p>"
+    spans = run(doc)
+    assert len(spans) == 1
+    s = spans[0]
+    assert s.score >= DET_BOX_THRESH
+    assert doc[s.start : s.end] == s.text
+    assert "plain sentence" in s.text
+
+
+def test_tiny_block_filtered():
+    # analog of the 10x10 small_image_: all blocks under min-size (D8/D14)
+    assert run("<html><body>ok</body></html>") == []
+
+
+def test_min_span_chars_enforced():
+    for s in run("<p>hi</p><p>ab cd</p>"):
+        assert s.end - s.start >= MIN_SPAN_CHARS
+
+
+def test_link_heavy_block_suppressed():
+    nav = "".join(f'<a href="/{i}">AREA {i} NOW</a> | ' for i in range(8))
+    doc = f'<div>{nav}</div><p>Genuine readable paragraph with many common words here.</p>'
+    spans = run(doc)
+    assert spans, "content paragraph must survive"
+    joined = " ".join(s.text for s in spans)
+    assert "Genuine readable paragraph" in joined
+    assert "AREA 3 NOW" not in joined
+
+
+def test_hint_ancestor_lowers_score():
+    body = "Some perfectly reasonable words appear in this sentence today."
+    plain = run(f"<p>{body}</p>")
+    hinted = run(f"<nav><p>{body}</p></nav>")
+    assert plain and plain[0].score >= DET_BOX_THRESH
+    # same text under a nav ancestor scores strictly lower
+    if hinted:
+        assert hinted[0].score < plain[0].score
+
+
+def test_spans_disjoint_within_page():
+    # unclip expands into background only: spans never overlap (D12 clamping)
+    from cpp_paddle_ocr_spark.fixtures import page
+
+    for i in [0, 1, 2, 5, 12]:
+        doc = page(i)["html"].decode("utf-8")
+        spans = run(doc)
+        by_start = sorted(spans, key=lambda s: (s.start, s.block_id))
+        for a, b in zip(by_start, by_start[1:]):
+            assert a.end <= b.start, (a, b)
+
+
+def test_spans_in_emission_order_and_capped():
+    doc = "".join(
+        f"<p>Paragraph number {i} holds enough ordinary words to qualify.</p>"
+        for i in range(1200)
+    )
+    spans = run(doc)
+    assert len(spans) <= 1000  # O5 cap
+    starts = [s.start for s in spans]
+    assert starts == sorted(starts)
+
+
+def test_iou_1d():
+    assert iou_1d(0, 10, 0, 10) == 1.0
+    assert iou_1d(0, 10, 10, 20) == 0.0
+    assert iou_1d(0, 10, 5, 15) == pytest.approx(5 / 15)
+    assert iou_1d(0, 0, 0, 0) == 0.0
+
+
+def _sp(start, end, score, bid=0):
+    return Span(block_id=bid, start=start, end=end, text="x", score=score)
+
+
+def test_nms_suppresses_overlapping_lower_score():
+    spans = [_sp(0, 100, 0.9), _sp(10, 95, 0.8), _sp(200, 300, 0.7)]
+    kept = nms(spans)
+    assert [(s.start, s.end) for s in kept] == [(0, 100), (200, 300)]
+
+
+def test_nms_keeps_below_threshold_overlap():
+    # IoU just under the threshold survives
+    spans = [_sp(0, 100, 0.9), _sp(67, 167, 0.8)]  # IoU = 33/167 ≈ 0.2
+    assert len(nms(spans)) == 2
+
+
+def test_nms_chain_greedy_semantics():
+    # b overlaps a (suppressed); c overlaps b but not a -> c survives because
+    # greedy NMS only tests against KEPT spans
+    a, b, c = _sp(0, 100, 0.9), _sp(30, 130, 0.8), _sp(60, 160, 0.7)
+    assert iou_1d(a.start, a.end, b.start, b.end) > NMS_IOU_THRESH
+    assert iou_1d(b.start, b.end, c.start, c.end) > NMS_IOU_THRESH
+    assert iou_1d(a.start, a.end, c.start, c.end) <= NMS_IOU_THRESH
+    kept = nms([a, b, c])
+    assert [(s.start, s.end) for s in kept] == [(0, 100), (60, 160)]
+
+
+def test_nms_tie_break_is_emission_order():
+    spans = [_sp(0, 100, 0.8), _sp(1, 101, 0.8)]
+    kept = nms(spans)
+    assert [(s.start, s.end) for s in kept] == [(0, 100)]
+
+
+def test_score_tokens_is_float64_and_order_free():
+    rng = np.random.default_rng(0)
+    feats = rng.random((100, 8))
+    p1 = score_tokens(feats)
+    p2 = score_tokens(feats[::-1])[::-1]
+    assert p1.dtype == np.float64
+    assert np.array_equal(p1, p2)
+
+
+def test_codepoints_roundtrip_and_ws():
+    cp = codepoints("a b c　d")
+    ws = ws_mask(cp)
+    assert ws.tolist() == [False, True, False, True, False, True, False]
