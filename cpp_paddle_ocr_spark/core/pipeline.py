@@ -67,24 +67,30 @@ def _error_row(url: str, error: str) -> dict[str, Any]:
     }
 
 
-def extract_page_stages(
-    html: bytes | None,
-) -> tuple[str | None, list[Span], str | None]:
-    """Guards + det + cls for one page → (doc, surviving spans, error)."""
+def decode_html(html: bytes | None) -> tuple[str | None, str | None]:
+    """Transport guards + decode (S2/P6): → (doc, error), never raises."""
     if html is None or len(html) == 0:
-        return None, [], "empty html"
+        return None, "empty html"
     if len(html) > MAX_HTML_BYTES:
         return (
             None,
-            [],
             f"oversized html ({len(html)} bytes > {MAX_HTML_BYTES}); "
             "route via dedicated range partition",
         )
     try:
         doc = bytes(html).decode("utf-8")
     except (UnicodeDecodeError, ValueError):
-        return None, [], "undecodable html (invalid utf-8)"
-    doc = doc[:MAX_DOC_CHARS]  # D1 limit_side_len analog
+        return None, "undecodable html (invalid utf-8)"
+    return doc[:MAX_DOC_CHARS], None  # D1 limit_side_len analog
+
+
+def extract_page_stages(
+    html: bytes | None,
+) -> tuple[str | None, list[Span], str | None]:
+    """Guards + det + cls for one page → (doc, surviving spans, error)."""
+    doc, error = decode_html(html)
+    if error is not None:
+        return None, [], error
     blocks = parse_blocks(doc)
     spans = detect_page(doc, blocks)
     if not spans:  # D15 early exit: skip cls+rec

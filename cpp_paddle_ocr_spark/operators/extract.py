@@ -84,10 +84,12 @@ def extract(
     """
     base = df.select("url", "html")
     size = F.length(F.col("html"))
+    valid = F.expr("is_valid_utf8(html)")
 
     empty = base.filter(F.col("html").isNull() | (size == 0))
     oversized = base.filter(size > MAX_HTML_BYTES)
-    work = base.filter(size.isNotNull() & (size > 0) & (size <= MAX_HTML_BYTES))
+    invalid = base.filter((size > 0) & (size <= MAX_HTML_BYTES) & ~valid)
+    work = base.filter(size.isNotNull() & (size > 0) & (size <= MAX_HTML_BYTES) & valid)
 
     if num_partitions is not None:
         work = size_routed_repartition(work, num_partitions)
@@ -95,6 +97,7 @@ def extract(
     extracted = work.mapInPandas(_extract_fn(metrics), OUTPUT_SCHEMA)
 
     empty_rows = _guard_row(empty, F.lit("empty html"))
+    invalid_rows = _guard_row(invalid, F.lit("undecodable html (invalid utf-8)"))
     oversized_rows = _guard_row(
         oversized,
         F.concat(
@@ -103,4 +106,8 @@ def extract(
             F.lit(f" bytes > {MAX_HTML_BYTES}); route via dedicated range partition"),
         ),
     )
-    return extracted.unionByName(empty_rows).unionByName(oversized_rows)
+    return (
+        extracted.unionByName(empty_rows)
+        .unionByName(invalid_rows)
+        .unionByName(oversized_rows)
+    )

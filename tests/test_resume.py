@@ -1,0 +1,80 @@
+"""Resume-from-checkpoint harness (SURVEY.md §5 plan item 5).
+
+Kill the job after commit group k, rerun with the same run_id, verify:
+completed buckets are skipped, the final table is byte-identical to a
+clean run, and no url is duplicated.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cpp_paddle_ocr_spark.lineage import (
+    SimulatedFailure,
+    completed_buckets,
+    read_extracted,
+    read_lineage,
+    run_extract_job,
+)
+from cpp_paddle_ocr_spark.operators.extract import make_metrics
+from cpp_paddle_ocr_spark.sources.documents import generate_documents
+
+N = 100
+BUCKETS = 16
+GROUPS = 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return generate_documents(spark, N, oversize_max=2_000_000).cache()
+
+
+def _snapshot(spark, out_dir):
+    return {
+        r.url: (r.success, r.n_blocks, r.extracted_text)
+        for r in read_extracted(spark, out_dir).collect()
+    }
+
+
+def test_kill_and_resume(spark, docs, tmp_path_factory):
+    out_a = str(tmp_path_factory.mktemp("clean"))
+    out_b = str(tmp_path_factory.mktemp("resumed"))
+
+    # clean run
+    run_extract_job(spark, docs, out_a, run_id="clean", n_buckets=BUCKETS, n_groups=GROUPS)
+    clean = _snapshot(spark, out_a)
+    assert len(clean) == N
+
+    # killed run: fails after commit group 1 (2 of 4 groups committed)
+    with pytest.raises(SimulatedFailure):
+        run_extract_job(
+            spark, docs, out_b, run_id="r1", n_buckets=BUCKETS,
+            n_groups=GROUPS, fail_after_group=1,
+        )
+    done = completed_buckets(spark, out_b, "r1")
+    assert 0 < len(done) < BUCKETS, "failure must land mid-job"
+
+    # resume: only remaining buckets are processed
+    m = make_metrics(spark)
+    run_extract_job(
+        spark, docs, out_b, run_id="r1", n_buckets=BUCKETS,
+        n_groups=GROUPS, metrics=m,
+    )
+    resumed = _snapshot(spark, out_b)
+    assert m["n_pages"].value < N, "resume must skip committed buckets"
+    assert resumed == clean, "resumed output must be byte-identical to clean run"
+
+    # lineage covers every bucket exactly once for the run
+    lin = read_lineage(spark, out_b).filter("run_id = 'r1'")
+    per_bucket = {r.bucket: r for r in lin.collect()}
+    assert set(per_bucket) == set(range(BUCKETS))
+    assert sum(r.n_pages for r in per_bucket.values()) == N
+
+
+def test_rerun_completed_job_is_noop(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("noop"))
+    run_extract_job(spark, docs, out, run_id="x", n_buckets=8, n_groups=2)
+    m = make_metrics(spark)
+    run_extract_job(spark, docs, out, run_id="x", n_buckets=8, n_groups=2, metrics=m)
+    assert m["n_pages"].value == 0
+    assert len(_snapshot(spark, out)) == N

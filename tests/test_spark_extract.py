@@ -50,9 +50,8 @@ def test_sql_guard_rows_never_reach_python(spark, docs):
     # accumulator (incremented inside the Python UDF) must not see them
     m = make_metrics(spark)
     rows = extract(docs, metrics=m).collect()
-    n_sql_guarded = sum(
-        1 for r in rows if not r.success and ("empty html" in r.error or "oversized" in r.error)
-    )
+    # all three guard classes (empty / undecodable / oversized) are SQL-side
+    n_sql_guarded = sum(1 for r in rows if not r.success)
     assert n_sql_guarded > 0
     assert m["n_pages"].value == N - n_sql_guarded
     assert m["n_ok"].value == sum(r.success for r in rows)

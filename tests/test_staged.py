@@ -1,0 +1,62 @@
+"""Staged pipeline == fused pipeline, and per-stage operator contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_paddle_ocr_spark.operators.extract import extract
+from cpp_paddle_ocr_spark.operators.staged import (
+    classify_candidates,
+    detect_candidates,
+    extract_staged,
+    recognize_candidates,
+)
+from cpp_paddle_ocr_spark.sources.documents import generate_documents
+
+N = 80
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return generate_documents(spark, N, oversize_max=2_000_000).cache()
+
+
+def test_staged_equals_fused(spark, docs):
+    fused = {
+        r.url: (r.success, r.error, r.n_blocks, r.extracted_text,
+                [(s.text, s.start, s.end, s.block_id) for s in r.spans])
+        for r in extract(docs).collect()
+    }
+    staged = {
+        r.url: (r.success, r.error, r.n_blocks, r.extracted_text,
+                [(s.text, s.start, s.end, s.block_id) for s in r.spans])
+        for r in extract_staged(docs).collect()
+    }
+    assert staged == fused
+
+
+def test_detect_candidates_fanout(spark, docs):
+    cands = detect_candidates(docs)
+    assert cands.columns == ["url", "block_id", "start", "end", "text", "det_score"]
+    n_pages = cands.select("url").distinct().count()
+    n_spans = cands.count()
+    assert n_spans > n_pages, "fan-out must be one-to-many"
+    bad = cands.filter((F.col("start") >= F.col("end")) | (F.col("det_score") < 0.4))
+    assert bad.count() == 0
+
+
+def test_cls_filter_is_catalyst_visible(spark, docs):
+    classified = classify_candidates(detect_candidates(docs))
+    survivors = classified.filter(F.col("cls_label") == 0)
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "cls_label" in plan and "Filter" in plan
+
+
+def test_recognize_adds_decoded_text(spark, docs):
+    cands = detect_candidates(docs).limit(50)
+    rec = recognize_candidates(classify_candidates(cands))
+    rows = rec.collect()
+    assert all(0.0 <= r.confidence < 1.0 for r in rows)
+    # entities decoded, whitespace collapsed
+    assert not any("&amp;" in r.rec_text or "  " in r.rec_text for r in rows)
