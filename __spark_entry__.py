@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over the deterministic fixture table.
+``queries()`` — every implemented operator from SURVEY.md §2 (+ the
+training-data pipeline operators); ``oracle_sql()`` — DuckDB oracles for all
+SQL-expressible ones. The extraction-cascade queries run on deterministic
+synthetic Common-Crawl-style pages (BASELINE.json input_hint; no external
+data) and get rows-only checks; everything else runs on the driver's parquet
+tables with full value-hash oracles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cpp_paddle_ocr_spark.operators import (
+    dedup,
+    relational,
+    similarity,
+    text_analysis,
+)
+from cpp_paddle_ocr_spark.operators.extract import extract
+from cpp_paddle_ocr_spark.operators.multimodal import decode_media_meta
+from cpp_paddle_ocr_spark.operators.staged import extract_staged
+from cpp_paddle_ocr_spark.sources.documents import generate_documents
+
+_N_EXTRACT = 240  # fixture pages for the extraction-pipeline checks
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: extract main content for every url (SURVEY.md §7.4)."""
+    docs = generate_documents(spark, _N_EXTRACT, oversize_max=2_000_000)
+    out = extract(docs, num_partitions=8)
+    # spans (array<struct>) dropped for a stable, hashable driver check
+    return out.select(
+        "url", "success", "error", "n_blocks", "extracted_text"
+    ).orderBy("url")
+
+
+def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = generate_documents(spark, _N_EXTRACT, oversize_max=2_000_000)
+    return extract(docs).select(
+        "url", "success", "error", "n_blocks", "extracted_text"
+    )
+
+
+def _q_extract_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = generate_documents(spark, _N_EXTRACT, oversize_max=2_000_000)
+    return extract_staged(docs).select(
+        "url", "success", "error", "n_blocks", "extracted_text"
+    )
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = generate_documents(spark, 60, oversize_max=2_000_000)
+    media = docs.select("url", F.col("html").alias("media"))
+    return decode_media_meta(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(relational.QUERIES)
+    q.update(text_analysis.QUERIES)
+    q.update(dedup.QUERIES)
+    q.update(similarity.QUERIES)
+    # extraction cascade + multimodal plumbing: non-SQL-expressible
+    # (custom mapInPandas pipelines) → rows-only checks
+    q["extract_pages"] = _q_extract_pages
+    q["extract_pages_staged"] = _q_extract_staged
+    q["multimodal_meta"] = _q_multimodal_meta
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o.update(relational.ORACLES)
+    o.update(text_analysis.ORACLES)
+    o.update(dedup.ORACLES)
+    o.update(similarity.ORACLES)
+    return o

@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract): one JSON line on stdout.
+
+Headline metric: extraction throughput (docs/sec) of the fused det→cls→rec
+pipeline over the deterministic Common-Crawl-style fixture table, end-to-end
+(parquet scan → mapInPandas cascade → parquet sink). Plus wall times for the
+training-data operators at $SPARK_GRAFT_SF_DIR.
+
+Fixture scale tracks the sf of the target dir: sf0.1 → 20k pages (~340 MB
+html). Fixture parquet is generated once (distributed) and cached under
+``.benchdata/``. Oversized pages are capped at 2 MB here so fixture
+generation isn't the bottleneck; the >8 MiB rejection path is covered by
+tests.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+
+from cpp_paddle_ocr_spark.operators import (  # noqa: E402
+    dedup,
+    relational,
+    similarity,
+    text_analysis,
+)
+from cpp_paddle_ocr_spark.operators.extract import extract  # noqa: E402
+from cpp_paddle_ocr_spark.session import get_spark  # noqa: E402
+from cpp_paddle_ocr_spark.sources.documents import write_documents_parquet  # noqa: E402
+
+DOCS_PER_SF = 200_000  # 20k pages at sf0.1
+OVERSIZE_MAX = 2_000_000
+
+
+def sf_of(sf_dir: str) -> float:
+    tag = pathlib.Path(sf_dir).name
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_fixture(spark, n_docs: int) -> str:
+    path = ROOT / ".benchdata" / f"docs_n{n_docs}_o{OVERSIZE_MAX}"
+    marker = path / "_SUCCESS"
+    if not marker.exists():
+        write_documents_parquet(
+            spark, str(path), n_docs, oversize_max=OVERSIZE_MAX
+        )
+    return str(path)
+
+
+def bench_extract(spark, fixture_path: str, n_docs: int) -> tuple[float, int]:
+    out_dir = str(ROOT / ".benchdata" / "out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = spark.read.parquet(fixture_path)
+    t0 = time.perf_counter()
+    extract(docs, num_partitions=spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    dt = time.perf_counter() - t0
+    n_out = spark.read.parquet(out_dir).count()
+    return dt, n_out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_of(sf_dir)
+    n_docs = max(200, int(DOCS_PER_SF * sf))
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fixture = ensure_fixture(spark, n_docs)
+    times: dict[str, float] = {}
+
+    ext_sec, n_out = bench_extract(spark, fixture, n_docs)
+    times["extract_pipeline"] = round(ext_sec, 3)
+    docs_per_sec = n_out / ext_sec
+
+    others = [
+        ("dedup_exact", dedup.QUERIES["dedup_exact"]),
+        ("dedup_simhash", dedup.QUERIES["dedup_simhash"]),
+        ("dedup_minhash", dedup.QUERIES["dedup_minhash"]),
+        ("dedup_lsh_pairs", dedup.QUERIES["dedup_lsh_pairs"]),
+        ("sim_cosine_topk", similarity.QUERIES["sim_cosine_topk"]),
+        ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
+        ("lang_id", text_analysis.QUERIES["lang_id"]),
+        ("quality_score", text_analysis.QUERIES["quality_score"]),
+        ("token_count", text_analysis.QUERIES["token_count"]),
+        ("fingerprint", text_analysis.QUERIES["fingerprint"]),
+        ("status_agg", relational.QUERIES["status_agg"]),
+        ("overlap_iou", relational.QUERIES["overlap_iou"]),
+    ]
+    for name, fn in others:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extracted docs/sec (fused det→cls→rec over synthetic CC pages) + operator wall times",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "n_docs": n_docs,
+                "extract_docs_per_sec": round(docs_per_sec, 2),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

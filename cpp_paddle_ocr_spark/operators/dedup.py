@@ -1,0 +1,333 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, SimHash, MinHash+LSH, n-gram Jaccard and embedding-cosine near-dup —
+each as a DataFrame operator with a DuckDB oracle. Every hash is derived from
+md5 (cross-engine identical); every modular product stays under 2^48 so int64
+arithmetic agrees between engines.
+
+Scale notes (100 TB view):
+* exact dedup — one hash aggregation, the map-side partial combine does most
+  of the work; output is tiny (group fingerprints).
+* simhash — explode + re-aggregate per doc: shuffle keyed by doc_id, no skew
+  (doc_id unique); signature join afterwards is a narrow 8-byte key.
+* minhash+LSH — the shuffle is the band-key self-join; band keys are
+  (band_id, two 20-bit mins) → well spread. Candidate pairs ≪ n².
+* embedding near-dup — brute-force pairs are bounded to a window here; the
+  production path is ``similarity.lsh_bucketed_ann`` (bucket-join, not n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import h28_sql, h60_sql, load, tokens, tokens_sql
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text fingerprint."""
+    return (
+        df.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+EXACT_SQL = """
+SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+# --- simhash -----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens (unit weights)."""
+    toks = df.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    value = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return agg.select("doc_id", value.cast("long").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    h = h60_sql("u.tok")
+    bit_sums = ",\n    ".join(
+        f"sum((({h} >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tok
+  FROM documents
+), sums AS (
+  SELECT doc_id, {bit_sums}
+  FROM toks u GROUP BY doc_id
+)
+SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM sums
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+# --- minhash + LSH -----------------------------------------------------------
+
+MINHASH_PERMS = 8  # k permutations; bands of 2 → 4 band keys
+MINHASH_P = 1_000_003
+_MINHASH_AB = [(131 + 2 * i, 977 * i + 1) for i in range(MINHASH_PERMS)]
+
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    """k-permutation MinHash signature per document (distinct tokens)."""
+    toks = df.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
+    aggs = [
+        F.min((h * a + b) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql() -> str:
+    h = h28_sql("u.tok")
+    mins = ",\n    ".join(
+        f"min(({h} * {a} + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tok
+  FROM documents
+)
+SELECT doc_id, {mins} FROM toks u GROUP BY doc_id
+"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any of 4 (2-row) bands."""
+    sig = minhash_signatures(df)
+    bands = []
+    for band in range(MINHASH_PERMS // 2):
+        key = F.concat_ws(
+            "_",
+            F.lit(str(band)),
+            F.col(f"s{2 * band}").cast("string"),
+            F.col(f"s{2 * band + 1}").cast("string"),
+        )
+        bands.append(sig.select("doc_id", key.alias("band_key")))
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    left = all_bands.alias("l")
+    right = all_bands.alias("r")
+    pairs = (
+        left.join(right, "band_key")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _lsh_sql() -> str:
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, concat('{band}', '_', s{2 * band}::VARCHAR, '_', "
+        f"s{2 * band + 1}::VARCHAR) AS band_key FROM sig"
+        for band in range(MINHASH_PERMS // 2)
+    )
+    return f"""
+WITH sig AS ({MINHASH_SQL}),
+bands AS ({band_selects})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r USING (band_key)
+WHERE l.doc_id < r.doc_id
+"""
+
+
+LSH_SQL = _lsh_sql()
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_DOC_CAP = 60  # pairwise window for the oracle-checked variant
+
+
+def ngram_jaccard_pairs(df: DataFrame, doc_cap: int = NGRAM_DOC_CAP) -> DataFrame:
+    """Character-3-gram Jaccard similarity for doc pairs under ``doc_cap``."""
+    grams = (
+        df.filter(F.col("doc_id") < doc_cap)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, greatest(length(text) - {NGRAM_N - 1}, 1)), "
+                    f"i -> substring(text, i, {NGRAM_N})))"
+                )
+            ).alias("gram"),
+        )
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_grams", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_grams", "nb")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, g.i, {NGRAM_N}) AS gram
+  FROM documents d, generate_series(1, 4096) g(i)
+  WHERE d.doc_id < {NGRAM_DOC_CAP}
+    AND g.i <= greatest(length(d.text) - {NGRAM_N - 1}, 1)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter / (sa.n_grams + sb.n_grams - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+NEARDUP_VEC_CAP = 120
+NEARDUP_THRESH = 0.9
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_cap: int = NEARDUP_VEC_CAP, thresh: float = NEARDUP_THRESH
+) -> DataFrame:
+    """Pairs of near-duplicate embeddings (cosine ≥ thresh) in a bounded
+    window — the brute-force correctness baseline; the scale path is LSH."""
+    e = df.filter(F.col("vec_id") < vec_cap).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    )
+    norm_a = F.expr("sqrt(aggregate(a.emb, 0.0D, (acc, v) -> acc + v * v))")
+    norm_b = F.expr("sqrt(aggregate(b.emb, 0.0D, (acc, v) -> acc + v * v))")
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (norm_a * norm_b), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= thresh)
+    )
+    return pairs
+
+
+NEARDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  WHERE vec_id < {NEARDUP_VEC_CAP}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb))
+         * sqrt(list_dot_product(b.emb, b.emb))) >= {NEARDUP_THRESH}
+"""
+
+# --- registry ----------------------------------------------------------------
+
+
+def q_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {
+    "dedup_exact": q_exact,
+    "dedup_simhash": q_simhash,
+    "dedup_minhash": q_minhash,
+    "dedup_lsh_pairs": q_lsh_pairs,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES = {
+    "dedup_exact": EXACT_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+    "dedup_minhash": MINHASH_SQL,
+    "dedup_lsh_pairs": LSH_SQL,
+    "dedup_ngram_jaccard": NGRAM_SQL,
+    "dedup_embedding_neardup": NEARDUP_SQL,
+}

@@ -1,0 +1,220 @@
+"""SQL-expressible analogs of the cascade's set/ordering/metrics operators,
+exercised over the driver's generic tables so they are DuckDB-checkable
+(FIXTURES.md: "SQL-expressible operators from SURVEY.md §2.6 ... get SQL
+oracles").
+
+Mapping (SURVEY.md §2.6 / §2.8):
+* O1 ``sort_boxes`` reading order   → ``doc_order_sort`` (row_number by ts)
+* O2 ``iou``                        → ``overlap_iou`` (interval IoU of
+                                      consecutive events, exact µs ints)
+* O3 ``nms``                        → ``window_dedup`` (best-per-key window)
+* O5 contour cap (top-K)            → ``topk_per_group``
+* D5/D11 threshold filters          → ``threshold_filter``
+* P7 status aggregation             → ``status_agg``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .common import load
+
+
+def status_agg(df: DataFrame) -> DataFrame:
+    """P7: the service-stats aggregation (counts + exact avg)."""
+    return (
+        df.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+        )
+    )
+
+
+STATUS_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def threshold_filter(df: DataFrame) -> DataFrame:
+    """D5/D11: score-threshold filtering (n_chars as the 'score')."""
+    return (
+        df.filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_pass"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+THRESHOLD_SQL = """
+SELECT source, count(*) AS n_pass, min(doc_id) AS first_doc
+FROM documents WHERE n_chars >= 200 AND lang = 'en'
+GROUP BY source
+"""
+
+
+def topk_per_group(df: DataFrame, k: int = 5) -> DataFrame:
+    """O5: per-group top-K cap (deterministic tie-break on doc_id)."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        df.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+TOPK_SQL = """
+SELECT source, doc_id, n_chars, rn FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def window_dedup(df: DataFrame) -> DataFrame:
+    """O3 as a window: keep the best-scored row per (lang, source) bucket —
+    the shuffle-based form of suppression-dedup."""
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        df.select("lang", "source", "doc_id", "n_chars",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+WINDOW_DEDUP_SQL = """
+SELECT lang, source, doc_id, n_chars FROM (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def overlap_iou(df: DataFrame) -> DataFrame:
+    """O2: 1-D interval IoU between consecutive events of a user.
+
+    Interval = [ts, ts + value seconds], computed in exact integer
+    microseconds on both engines (``unix_micros`` / ``epoch_us``).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # session-timezone-independent epoch micros for TIMESTAMP_NTZ: computed
+    # from date/time components, identical to DuckDB epoch_us on naive ts
+    t0 = F.expr(
+        "cast(unix_date(cast(ts as date)) as bigint) * 86400000000"
+        " + cast(hour(ts) * 3600 + minute(ts) * 60 as bigint) * 1000000"
+        " + cast(date_part('second', ts) * 1000000 as bigint)"
+    )
+    t1 = t0 + (F.col("value") * 1_000_000).cast("long")
+    p0 = F.lag(t0).over(w)
+    p1 = F.lag(t1).over(w)
+    inter = F.greatest(
+        F.lit(0).cast("long"), F.least(t1, p1) - F.greatest(t0, p0)
+    )
+    union = (t1 - t0) + (p1 - p0) - inter
+    return (
+        df.select(
+            "user_id",
+            "event_id",
+            p0.alias("_p0"),
+            F.when(union > 0, F.round(inter / union, 6))
+            .otherwise(F.lit(0.0))
+            .alias("iou_prev"),
+        )
+        .filter(F.col("_p0").isNotNull())
+        .drop("_p0")
+    )
+
+
+OVERLAP_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS t0,
+         epoch_us(ts) + CAST(value * 1000000 AS BIGINT) AS t1,
+         lag(epoch_us(ts)) OVER w AS p0,
+         lag(epoch_us(ts) + CAST(value * 1000000 AS BIGINT)) OVER w AS p1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_id,
+       CASE WHEN (t1 - t0) + (p1 - p0)
+                 - greatest(0, least(t1, p1) - greatest(t0, p0)) > 0
+            THEN round(greatest(0, least(t1, p1) - greatest(t0, p0))
+                 / ((t1 - t0) + (p1 - p0)
+                    - greatest(0, least(t1, p1) - greatest(t0, p0))), 6)
+            ELSE 0.0 END AS iou_prev
+FROM iv WHERE p0 IS NOT NULL
+"""
+
+
+def doc_order_sort(df: DataFrame) -> DataFrame:
+    """O1: deterministic reading-order sort with total tie-break."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return df.select(
+        "user_id", "event_id", F.row_number().over(w).alias("seq")
+    )
+
+
+DOC_ORDER_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS seq
+FROM events
+"""
+
+
+def q_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return status_agg(load(spark, sf_dir, "documents"))
+
+
+def q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return threshold_filter(load(spark, sf_dir, "documents"))
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_per_group(load(spark, sf_dir, "documents"))
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return window_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return overlap_iou(load(spark, sf_dir, "events"))
+
+
+def q_doc_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_order_sort(load(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "status_agg": q_status,
+    "threshold_filter": q_threshold,
+    "topk_per_group": q_topk,
+    "window_dedup": q_window_dedup,
+    "overlap_iou": q_overlap,
+    "doc_order_sort": q_doc_order,
+}
+
+ORACLES = {
+    "status_agg": STATUS_SQL,
+    "threshold_filter": THRESHOLD_SQL,
+    "topk_per_group": TOPK_SQL,
+    "window_dedup": WINDOW_DEDUP_SQL,
+    "overlap_iou": OVERLAP_SQL,
+    "doc_order_sort": DOC_ORDER_SQL,
+}

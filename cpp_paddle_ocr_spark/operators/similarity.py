@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k: the correctness baseline.
+  Cosines are computed with a sequential ``aggregate`` fold (deterministic
+  summation order), rounded to 6 dp BEFORE ranking so cross-engine ties
+  resolve identically (tie-break: ``vec_id`` ascending).
+* ``lsh_bucketed_ann`` — the scale path: 8 deterministic random-hyperplane
+  sign bits → bucket id; candidates = query's bucket only (a broadcast-able
+  bucket join instead of an n² cross join). At 10^12 rows the bucket join
+  shuffles ~n/256 candidates per query instead of n.
+
+Both use the reference's cascade discipline: cheap filter first (bucket),
+exact scoring only on survivors — the det→rec shape applied to ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import load
+
+TOPK = 10
+N_PLANES = 8
+DIM = 64
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def cosine_topk(
+    df: DataFrame, query_vec_id: int = 0, k: int = TOPK
+) -> DataFrame:
+    """Exact top-k by cosine against the embedding of ``query_vec_id``."""
+    e = df.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("qemb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(_dot_expr("emb", "qemb"))
+                / (F.expr(_norm_expr("emb")) * F.expr(_norm_expr("qemb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+COSINE_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.emb, q.qemb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS cosine
+FROM e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+def _plane_dot(emb: str, j: int) -> str:
+    """Signed sum for hyperplane j: weight(i) = +1 if (i*31 + j*17) even."""
+    return (
+        f"aggregate(sequence(0, {DIM - 1}), 0.0D, (acc, i) -> acc + "
+        f"element_at({emb}, i + 1) * (CASE WHEN pmod(i * 31 + {j} * 17, 2) = 0 "
+        f"THEN 1.0D ELSE -1.0D END))"
+    )
+
+
+def _bucket_col(emb: str):
+    value = None
+    for j in range(N_PLANES):
+        bit = F.when(F.expr(_plane_dot(emb, j)) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        value = bit if value is None else value + bit
+    return value.cast("int")
+
+
+def lsh_bucketed_ann(
+    df: DataFrame, query_vec_id: int = 0, k: int = TOPK
+) -> DataFrame:
+    """ANN: exact cosine ranking restricted to the query's LSH bucket."""
+    e = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("bucket", _bucket_col("emb"))
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("qemb"), F.col("bucket").alias("qbucket")
+    )
+    cands = (
+        e.join(
+            F.broadcast(q), F.col("bucket") == F.col("qbucket")
+        )  # bucket-equality join: the LSH prune
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(
+                F.expr(_dot_expr("emb", "qemb"))
+                / (F.expr(_norm_expr("emb")) * F.expr(_norm_expr("qemb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return cands.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _plane_dot_sql(emb: str, j: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(0, {DIM - 1}), i -> "
+        f"{emb}[i + 1] * (CASE WHEN (i * 31 + {j} * 17) % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END)))"
+    )
+
+
+def _bucket_sql(emb: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(emb, j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+
+
+LSH_ANN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         ({_bucket_sql('(embedding::DOUBLE[])')}) AS bucket
+  FROM embeddings
+),
+q AS (SELECT emb AS qemb, bucket AS qbucket FROM e WHERE vec_id = 0)
+SELECT e.vec_id, e.bucket,
+       round(list_dot_product(e.emb, q.qemb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS cosine
+FROM e, q
+WHERE e.bucket = q.qbucket AND e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load(spark, sf_dir, "embeddings"))
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucketed_ann(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {
+    "sim_cosine_topk": q_cosine_topk,
+    "sim_lsh_ann": q_lsh_ann,
+}
+
+ORACLES = {
+    "sim_cosine_topk": COSINE_TOPK_SQL,
+    "sim_lsh_ann": LSH_ANN_SQL,
+}
