@@ -100,16 +100,53 @@ def extract_page_stages(
     return doc, survivors, None
 
 
-def extract_batch(
-    urls: Iterable[str], htmls: Iterable[bytes | None]
+# Route codes (computed JVM-side by operators.extract, or in Python here):
+ROUTE_EMPTY = 0
+ROUTE_OVERSIZED = 1
+ROUTE_INVALID = 2
+ROUTE_WORK = 3
+
+
+def route_of(html: bytes | None) -> int:
+    if html is None or len(html) == 0:
+        return ROUTE_EMPTY
+    if len(html) > MAX_HTML_BYTES:
+        return ROUTE_OVERSIZED
+    return ROUTE_WORK  # utf-8 validity is discovered at decode time
+
+
+def _guard_error(route: int, size: int) -> str:
+    if route == ROUTE_EMPTY:
+        return "empty html"
+    if route == ROUTE_OVERSIZED:
+        return (
+            f"oversized html ({size} bytes > {MAX_HTML_BYTES}); "
+            "route via dedicated range partition"
+        )
+    return "undecodable html (invalid utf-8)"
+
+
+def extract_batch_routed(
+    urls: Iterable[str],
+    htmls: Iterable[bytes | None],
+    sizes: Iterable[int],
+    routes: Iterable[int],
 ) -> pd.DataFrame:
-    """Process one batch of pages → output rows (OUTPUT_COLUMNS order)."""
+    """Process one batch of pre-routed pages → output rows.
+
+    ``routes``/``sizes`` come from the JVM single-scan projection (guard
+    classification without shipping guard-row bytes); html is None for any
+    non-WORK route. Output rows are byte-identical to ``extract_batch``.
+    """
     rows: list[dict[str, Any]] = []
     page_spans: list[list[Span]] = []  # per successful page
     page_rows: list[int] = []  # row index of that page
     timings: list[float] = []
 
-    for url, html in zip(urls, htmls):
+    for url, html, size, route in zip(urls, htmls, sizes, routes):
+        if route != ROUTE_WORK:
+            rows.append(_error_row(url, _guard_error(route, int(size or 0))))
+            continue
         t0 = time.perf_counter()
         _doc, spans, error = extract_page_stages(html)
         if error is not None:
@@ -156,6 +193,20 @@ def extract_batch(
         row["processing_time_ms"] = det_ms + rec_ms * (k / n_spans_total)
 
     return pd.DataFrame(rows, columns=OUTPUT_COLUMNS)
+
+
+def extract_batch(
+    urls: Iterable[str], htmls: Iterable[bytes | None]
+) -> pd.DataFrame:
+    """Process one batch of raw pages → output rows (pure-Python entry)."""
+    urls = list(urls)
+    htmls = list(htmls)
+    sizes = [len(h) if h is not None else 0 for h in htmls]
+    routes = [route_of(h) for h in htmls]
+    htmls = [
+        h if r == ROUTE_WORK else None for h, r in zip(htmls, routes)
+    ]
+    return extract_batch_routed(urls, htmls, sizes, routes)
 
 
 def extract_one(url: str, html: bytes | None) -> dict[str, Any]:

@@ -1,22 +1,26 @@
 """The fused extraction operator: ``extract(df) -> df``.
 
 The ``processRequest`` analog (``src/ocr_worker.cpp:213-311``) as one
-``mapInPandas`` pass, with the transport guards lifted OUT of Python into
-Catalyst-visible SQL branches (X1): empty and oversized pages are answered
-with pure-SQL error rows and never cross the JVM→Python Arrow channel — the
-Spark-native form of the reference rejecting oversized requests at the pipe
-buffer before they reach a worker (P6, ``src/ocr_ipc_service.cpp:222-239``).
+``mapInPandas`` pass over a SINGLE source scan:
 
-Scale shape (100 TB view):
-* narrow scan → filter split (no shuffle for the guard branches);
-* one shuffle for the salted size-routed repartition (optional, skipped when
-  ``num_partitions=None`` and the source layout is already good);
-* ``mapInPandas`` — the only Python hop; Arrow batches are the worker queues;
-* no shuffle after extraction (per-page results are final).
-
-Error-string parity: the SQL branches produce byte-identical ``error``
-messages to ``core.pipeline.extract_batch`` so golden outputs match whichever
-path answered the page.
+* one JVM-side projection classifies every page into a route
+  (empty / oversized / invalid-utf8 / work) and **blanks the html bytes of
+  every guard row** — the Spark-native form of the reference rejecting
+  oversized requests at the pipe buffer before they reach a worker (P6,
+  ``src/ocr_ipc_service.cpp:222-239``). Guard rows therefore cross the
+  shuffle and Arrow channel as a few bytes of metadata, never as payload,
+  and the source is scanned exactly once (an earlier union-of-branches
+  design scanned it 4×; see BENCH/BASELINE.md);
+* optional single shuffle: salted url-hash repartition spreads pages —
+  including the rare multi-MB ones — uniformly, which measured faster than
+  confining big pages to dedicated range partitions (they serialize there);
+  ``plans.partitioning.size_routed_repartition`` remains available for
+  memory-constrained clusters;
+* ``mapInPandas`` — the only Python hop. Incoming Arrow batches are
+  re-sliced to a byte budget so a run of adjacent big pages can never blow
+  up executor memory (X3/X10 batch discipline);
+* error rows are built from the route metadata with byte-identical messages
+  to the pure core, so golden outputs match whichever path answered.
 """
 
 from __future__ import annotations
@@ -24,38 +28,60 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 from ..config import MAX_HTML_BYTES
-from ..core.pipeline import extract_batch
-from ..plans.partitioning import size_routed_repartition
-from ..schemas import OUTPUT_SCHEMA, SPAN_SCHEMA
+from ..core.pipeline import ROUTE_WORK, extract_batch_routed
+from ..plans.partitioning import salted_url_partitioning
+from ..schemas import OUTPUT_SCHEMA
+
+#: Max html bytes handed to one ``extract_batch_routed`` call (Python-side
+#: re-slicing of Arrow batches; bounds peak extraction memory per worker).
+BATCH_BYTE_BUDGET = 64 * 1024 * 1024
 
 
-def _guard_row(df: DataFrame, error_col) -> DataFrame:
-    """Build OUTPUT_SCHEMA error rows in pure SQL (never reaches Python)."""
-    return df.select(
-        F.col("url"),
-        F.lit(False).alias("success"),
-        error_col.alias("error"),
-        F.lit(0).alias("n_blocks"),
-        F.array().cast(T.ArrayType(SPAN_SCHEMA)).alias("spans"),
-        F.lit("").alias("extracted_text"),
-        F.lit(0.0).alias("processing_time_ms"),
+def _route_col():
+    size = F.length(F.col("html"))
+    return (
+        F.when(F.col("html").isNull() | (size == 0), F.lit(0))
+        .when(size > MAX_HTML_BYTES, F.lit(1))
+        .when(~F.expr("is_valid_utf8(html)"), F.lit(2))
+        .otherwise(F.lit(3))
     )
+
+
+def _slice_budget(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+    sizes = pdf["html_size"].fillna(0)
+    if sizes.sum() <= BATCH_BYTE_BUDGET:
+        yield pdf
+        return
+    start, acc = 0, 0
+    for i, s in enumerate(sizes.tolist()):
+        if acc + s > BATCH_BYTE_BUDGET and i > start:
+            yield pdf.iloc[start:i]
+            start, acc = i, 0
+        acc += s
+    if start < len(pdf):
+        yield pdf.iloc[start:]
 
 
 def _extract_fn(metrics: dict | None):
     """Build the mapInPandas payload; ``metrics`` are LongAccumulators (P7)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = extract_batch(pdf["url"].tolist(), pdf["html"].tolist())
-            if metrics is not None:
-                metrics["n_pages"].add(len(out))
-                metrics["n_ok"].add(int(out["success"].sum()))
-                metrics["n_blocks"].add(int(out["n_blocks"].sum()))
-            yield out
+        for whole in batches:
+            for pdf in _slice_budget(whole):
+                out = extract_batch_routed(
+                    pdf["url"].tolist(),
+                    pdf["html"].tolist(),
+                    pdf["html_size"].tolist(),
+                    pdf["route"].tolist(),
+                )
+                if metrics is not None:
+                    metrics["n_pages"].add(len(out))
+                    metrics["n_ok"].add(int(out["success"].sum()))
+                    metrics["n_blocks"].add(int(out["n_blocks"].sum()))
+                yield out
 
     return fn
 
@@ -70,6 +96,21 @@ def make_metrics(spark) -> dict:
     }
 
 
+def prepare_routed(df: DataFrame) -> DataFrame:
+    """Single-scan guard projection: (url, html|NULL, html_size, route)."""
+    return df.select(
+        "url",
+        F.col("html"),
+        F.coalesce(F.length(F.col("html")), F.lit(0)).alias("html_size"),
+        _route_col().alias("route"),
+    ).select(
+        "url",
+        F.when(F.col("route") == ROUTE_WORK, F.col("html")).alias("html"),
+        "html_size",
+        "route",
+    )
+
+
 def extract(
     df: DataFrame,
     num_partitions: int | None = None,
@@ -79,35 +120,10 @@ def extract(
 
     ``df`` needs columns ``url`` (string) and ``html`` (binary); extra columns
     are pruned before the Python hop (column pruning stays effective, X12).
-    ``num_partitions`` enables the salted size-routed shuffle; leave ``None``
-    to inherit the source partitioning (no shuffle at all).
+    ``num_partitions`` enables the salted repartition (one shuffle); leave
+    ``None`` to inherit the source partitioning (no shuffle at all).
     """
-    base = df.select("url", "html")
-    size = F.length(F.col("html"))
-    valid = F.expr("is_valid_utf8(html)")
-
-    empty = base.filter(F.col("html").isNull() | (size == 0))
-    oversized = base.filter(size > MAX_HTML_BYTES)
-    invalid = base.filter((size > 0) & (size <= MAX_HTML_BYTES) & ~valid)
-    work = base.filter(size.isNotNull() & (size > 0) & (size <= MAX_HTML_BYTES) & valid)
-
+    routed = prepare_routed(df)
     if num_partitions is not None:
-        work = size_routed_repartition(work, num_partitions)
-
-    extracted = work.mapInPandas(_extract_fn(metrics), OUTPUT_SCHEMA)
-
-    empty_rows = _guard_row(empty, F.lit("empty html"))
-    invalid_rows = _guard_row(invalid, F.lit("undecodable html (invalid utf-8)"))
-    oversized_rows = _guard_row(
-        oversized,
-        F.concat(
-            F.lit("oversized html ("),
-            size.cast("string"),
-            F.lit(f" bytes > {MAX_HTML_BYTES}); route via dedicated range partition"),
-        ),
-    )
-    return (
-        extracted.unionByName(empty_rows)
-        .unionByName(invalid_rows)
-        .unionByName(oversized_rows)
-    )
+        routed = salted_url_partitioning(routed, num_partitions)
+    return routed.mapInPandas(_extract_fn(metrics), OUTPUT_SCHEMA)

@@ -39,20 +39,22 @@ def size_routed_repartition(
     df: DataFrame,
     num_partitions: int,
     threshold_bytes: int = OVERSIZE_ROUTE_BYTES,
+    size_col: str | None = None,
 ) -> DataFrame:
-    """Small pages → salted hash layout; big pages → range layout by size.
+    """Explicit oversized-blob routing: small pages → salted hash layout;
+    big pages → ``repartitionByRange`` on size at FULL parallelism (an early
+    variant used ``num_partitions // 8`` here and serialized the heavy pages
+    — see BENCH/BASELINE.md).
 
-    Returns one DataFrame (union) whose partitioning keeps Arrow batches
-    size-homogeneous. Both branches are narrow scans of the same source; AQE
-    coalesces the small-side shuffle if the input is tiny.
+    This is the optional memory-constrained mode (north-rule facility): it
+    guarantees size-homogeneous Arrow batches at the cost of a second source
+    scan (union of two filter branches). The default ``extract`` path instead
+    spreads big pages uniformly by salted hash and bounds per-batch bytes
+    inside the UDF, which measured faster on balanced hardware.
     """
-    size = F.length(F.col("html"))
+    size = F.col(size_col) if size_col else F.length(F.col("html"))
     small = df.filter((size <= threshold_bytes) | size.isNull())
     big = df.filter(size > threshold_bytes)
     small_p = salted_url_partitioning(small, num_partitions)
-    # oversized pages: few per crawl → a handful of range partitions sorted by
-    # size so the largest pages share a batch only with similarly-large ones
-    big_p = big.repartitionByRange(
-        max(2, num_partitions // 8), F.length(F.col("html"))
-    )
+    big_p = big.repartitionByRange(num_partitions, size)
     return small_p.unionByName(big_p)

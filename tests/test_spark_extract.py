@@ -45,15 +45,19 @@ def test_parallelism_invariance(spark, docs):
     assert a == b == c
 
 
-def test_sql_guard_rows_never_reach_python(spark, docs):
-    # empty/oversized pages are answered by Catalyst-only branches: the
-    # accumulator (incremented inside the Python UDF) must not see them
+def test_guard_rows_ship_no_payload(spark, docs):
+    # the single-scan route projection blanks html for every guard class
+    # (empty / oversized / invalid-utf8): their bytes never cross the
+    # shuffle or Arrow channel, only route metadata does
+    from cpp_paddle_ocr_spark.operators.extract import prepare_routed
+
+    routed = prepare_routed(docs.select("url", "html"))
+    guards = routed.filter("route != 3")
+    assert guards.count() > 0
+    assert guards.filter("html IS NOT NULL").count() == 0
     m = make_metrics(spark)
     rows = extract(docs, metrics=m).collect()
-    # all three guard classes (empty / undecodable / oversized) are SQL-side
-    n_sql_guarded = sum(1 for r in rows if not r.success)
-    assert n_sql_guarded > 0
-    assert m["n_pages"].value == N - n_sql_guarded
+    assert m["n_pages"].value == N  # guard rows counted as pages (P7)
     assert m["n_ok"].value == sum(r.success for r in rows)
 
 
