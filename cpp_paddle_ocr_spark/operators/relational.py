@@ -117,7 +117,9 @@ def overlap_iou(df: DataFrame) -> DataFrame:
         " + cast(hour(ts) * 3600 + minute(ts) * 60 as bigint) * 1000000"
         " + cast(date_part('second', ts) * 1000000 as bigint)"
     )
-    t1 = t0 + (F.col("value") * 1_000_000).cast("long")
+    # explicit floor: DuckDB CAST(double AS BIGINT) rounds-to-nearest while
+    # Spark truncates — floor() first makes both exact and identical
+    t1 = t0 + F.floor(F.col("value") * 1_000_000).cast("long")
     p0 = F.lag(t0).over(w)
     p1 = F.lag(t1).over(w)
     inter = F.greatest(
@@ -142,9 +144,9 @@ OVERLAP_SQL = """
 WITH iv AS (
   SELECT user_id, event_id,
          epoch_us(ts) AS t0,
-         epoch_us(ts) + CAST(value * 1000000 AS BIGINT) AS t1,
+         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS t1,
          lag(epoch_us(ts)) OVER w AS p0,
-         lag(epoch_us(ts) + CAST(value * 1000000 AS BIGINT)) OVER w AS p1
+         lag(epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT)) OVER w AS p1
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
