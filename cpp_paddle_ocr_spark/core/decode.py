@@ -44,20 +44,21 @@ from ..weights import rec_timestep_probs
 from .detect import codepoints, ws_mask
 
 # codepoints that emit a blank (dropped): C0/C1 controls, soft hyphen,
-# zero-width & directional marks, BOM.
-_DROP_LO = 32  # below this → control
+# zero-width & directional marks, BOM. \t \n \v \f \r (9-13) stay whitespace;
+# zero-width chars (incl. U+200B) are drops, taking precedence over ws.
+# Lookup table: one gather per span instead of seven vector ops.
+_DROP_TABLE = np.zeros(0xFF00, dtype=bool)
+_DROP_TABLE[:32] = True
+_DROP_TABLE[9:14] = False
+_DROP_TABLE[0x7F] = True
+_DROP_TABLE[0xAD] = True
+_DROP_TABLE[0x200B:0x2010] = True
+_DROP_TABLE[0xFEFF] = True
 
 
 def _drop_mask(cp: np.ndarray) -> np.ndarray:
-    """Blank-emitting codepoints. \\t \\n \\r etc. (9-13) stay whitespace;
-    zero-width chars (incl. U+200B) are drops, taking precedence over ws."""
-    return (
-        ((cp < _DROP_LO) & ~((cp >= 9) & (cp <= 13)))
-        | (cp == 0x7F)
-        | (cp == 0xAD)
-        | ((cp >= 0x200B) & (cp <= 0x200F))
-        | (cp == 0xFEFF)
-    )
+    # codepoints above the table (emoji, SMP) are never drops → index 0x20
+    return _DROP_TABLE[np.where(cp < 0xFF00, cp, 0x20)]
 
 
 def encode_timesteps(text: str) -> np.ndarray:

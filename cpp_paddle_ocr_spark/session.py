@@ -44,7 +44,12 @@ def get_spark(
         # python worker reuse keeps per-executor model weights warm (X4)
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # fat binary rows: the default 4096-row columnar reader batch holds
+        # GBs of html per in-flight batch and GC-thrashes the executor —
+        # 128 rows ≈ 4 MB typical / 256 MB worst-case (measured 5x at
+        # local[32], BENCH/BASELINE.md)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -2,16 +2,23 @@
 
 No real cluster in this sandbox, so per the driver instruction the
 two-cluster-size criterion is evidenced by running the IDENTICAL extraction
-job at two parallelism levels — local[N] and local[4N] (default 8 → 32) —
-on the same input, reporting throughput at both plus
-``efficiency = (docs/s at 4N) / (4 × docs/s at N)``.
+job at two parallelism levels on the same input and reporting throughput at
+both plus ``efficiency = (docs/s at 4N) / (4 × docs/s at N)``.
 
-Methodology: one warmup pass (JIT + page cache) before either timed run, so
-both measurements are warm; fresh SparkContext per level (sessions stopped
-between); same fixture parquet, same code path as bench.py.
+Methodology (each point matters for a fair proxy):
 
-Writes BENCH/scaling.json and refreshes the results table in
-BENCH/BASELINE.md.
+* **CPU affinity**: ``local[N]`` alone is NOT an N-core cluster — the N task
+  threads are accompanied by N Python workers and JVM service threads, so an
+  unpinned local[8] consumes ~16 of the host's 32 cores and inflates the
+  small-N baseline (first measurement: efficiency 0.33, an artifact). Each
+  leg runs in its own subprocess pinned with ``taskset -c 0..N-1`` so "N
+  cores" means N cores, like a real N-core executor fleet.
+* **Fresh JVM per leg + in-leg warmup**: a warmup extraction run inside each
+  leg pays JIT/page-cache costs before timing; the timed run is repeated
+  twice and the best is kept (single-host noise is ±20%).
+* Same fixture parquet, same code path as bench.py.
+
+Writes BENCH/scaling.json; paste the table into BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -19,61 +26,88 @@ from __future__ import annotations
 import json
 import pathlib
 import shutil
+import subprocess
 import sys
 import time
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-from cpp_paddle_ocr_spark.operators.extract import extract  # noqa: E402
-from cpp_paddle_ocr_spark.session import get_spark  # noqa: E402
-from cpp_paddle_ocr_spark.sources.documents import write_documents_parquet  # noqa: E402
-
 N_DOCS = 20_000
 OVERSIZE_MAX = 2_000_000
 N_SMALL = 8
 N_BIG = 32
+FIXTURE = ROOT / ".benchdata" / f"docs_n{N_DOCS}_o{OVERSIZE_MAX}"
 
 
-def run_once(master_cores: int, fixture: str, warmup: bool = False) -> float:
+def leg(cores: int) -> None:
+    """Timed run inside a taskset-pinned subprocess; prints docs/s."""
+    from cpp_paddle_ocr_spark.operators.extract import extract
+    from cpp_paddle_ocr_spark.session import get_spark
+
     spark = get_spark(
-        app_name=f"scaling-{master_cores}",
-        master=f"local[{master_cores}]",
-        shuffle_partitions=master_cores,
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = str(ROOT / ".benchdata" / f"scaling_out_{master_cores}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    docs = spark.read.parquet(fixture)
-    if warmup:
-        docs = docs.limit(2000)
-    t0 = time.perf_counter()
-    extract(docs, num_partitions=master_cores * 2).write.mode("overwrite").parquet(
-        out_dir
-    )
-    dt = time.perf_counter() - t0
-    n = spark.read.parquet(out_dir).count()
+    docs = spark.read.parquet(str(FIXTURE))
+
+    def one(tag: str, df) -> float:
+        out = str(ROOT / ".benchdata" / f"scaling_out_{cores}_{tag}")
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        extract(df, num_partitions=cores * 2).write.mode("overwrite").parquet(out)
+        dt = time.perf_counter() - t0
+        n = spark.read.parquet(out).count()
+        shutil.rmtree(out, ignore_errors=True)
+        return n / dt
+
+    one("warm", docs.limit(2000))  # JIT + cache warmup, untimed
+    best = max(one("t1", docs), one("t2", docs))
+    print(f"RATE {best:.2f}", flush=True)
     spark.stop()
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return n / dt
+
+
+def run_leg(cores: int) -> float:
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{cores - 1}",
+        sys.executable,
+        str(pathlib.Path(__file__).resolve()),
+        "--leg",
+        str(cores),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("RATE "):
+            return float(line.split()[1])
+    raise RuntimeError(f"no RATE in leg output: {out.stdout[-500:]} {out.stderr[-500:]}")
 
 
 def main() -> None:
-    spark = get_spark(app_name="scaling-gen", master=f"local[{N_BIG}]")
-    spark.sparkContext.setLogLevel("ERROR")
-    fixture = str(ROOT / ".benchdata" / f"docs_n{N_DOCS}_o{OVERSIZE_MAX}")
-    if not (pathlib.Path(fixture) / "_SUCCESS").exists():
-        write_documents_parquet(spark, fixture, N_DOCS, oversize_max=OVERSIZE_MAX)
-    spark.stop()
+    if "--leg" in sys.argv:
+        leg(int(sys.argv[sys.argv.index("--leg") + 1]))
+        return
 
-    run_once(N_SMALL, fixture, warmup=True)  # JIT + page-cache warmup
+    from cpp_paddle_ocr_spark.session import get_spark
+    from cpp_paddle_ocr_spark.sources.documents import write_documents_parquet
 
-    rate_small = run_once(N_SMALL, fixture)
-    rate_big = run_once(N_BIG, fixture)
+    if not (FIXTURE / "_SUCCESS").exists():
+        spark = get_spark(app_name="scaling-gen", master=f"local[{N_BIG}]")
+        spark.sparkContext.setLogLevel("ERROR")
+        write_documents_parquet(spark, str(FIXTURE), N_DOCS, oversize_max=OVERSIZE_MAX)
+        spark.stop()
+
+    rate_small = run_leg(N_SMALL)
+    rate_big = run_leg(N_BIG)
     eff = (rate_big / rate_small) / (N_BIG / N_SMALL)
 
     result = {
         "n_docs": N_DOCS,
+        "method": "taskset-pinned local[N] legs, fresh JVM per leg, "
+        "in-leg warmup, best of 2 timed runs",
         "cores_small": N_SMALL,
         "cores_big": N_BIG,
         "docs_per_sec_small": round(rate_small, 2),
