@@ -19,12 +19,27 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 32
 
 
+#: BLAS/OpenMP pools inside Python workers oversubscribe the box: N workers ×
+#: N BLAS threads = N² runnable threads. Our numeric kernels are small
+#: elementwise/matmul ops where the pool is pure overhead — pinning to 1
+#: measured 653 → 1460 docs/s at local[32] (BENCH/BASELINE.md).
+_THREAD_VARS = (
+    "OMP_NUM_THREADS",
+    "OPENBLAS_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+    "VECLIB_MAXIMUM_THREADS",
+)
+
+
 def get_spark(
     app_name: str = "cpp-paddle-ocr-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    for var in _THREAD_VARS:
+        os.environ.setdefault(var, "1")  # local mode: workers inherit
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
@@ -51,6 +66,8 @@ def get_spark(
         .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    for var in _THREAD_VARS:  # cluster mode: ship to executors too
+        b = b.config(f"spark.executorEnv.{var}", "1")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

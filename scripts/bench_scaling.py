@@ -64,7 +64,9 @@ def leg(cores: int) -> None:
         return n / dt
 
     one("warm", docs.limit(2000))  # JIT + cache warmup, untimed
-    best = max(one("t1", docs), one("t2", docs))
+    # C2 compilation of the codegen'd scan keeps paying off through the first
+    # full run; take the best of 3 so both legs measure steady state
+    best = max(one("t1", docs), one("t2", docs), one("t3", docs))
     print(f"RATE {best:.2f}", flush=True)
     spark.stop()
 
@@ -107,7 +109,7 @@ def main() -> None:
     result = {
         "n_docs": N_DOCS,
         "method": "taskset-pinned local[N] legs, fresh JVM per leg, "
-        "in-leg warmup, best of 2 timed runs",
+        "in-leg warmup, best of 3 timed runs",
         "cores_small": N_SMALL,
         "cores_big": N_BIG,
         "docs_per_sec_small": round(rate_small, 2),
