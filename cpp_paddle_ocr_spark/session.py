@@ -64,7 +64,18 @@ def get_spark(
         # 128 rows ≈ 4 MB typical / 256 MB worst-case (measured 5x at
         # local[32], BENCH/BASELINE.md)
         .config("spark.sql.parquet.columnarReaderBatchSize", "128")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # G1's humongous-allocation handling collapses under the 2 MB html
+        # byte-array churn (measured 600+ s of GC per 20k-page job);
+        # throughput-oriented ParallelGC fits this batch workload: ~3× and
+        # far lower variance (BENCH/BASELINE.md)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # task-side commit (v2): the v1 driver-side sequential rename of every
+        # task directory is a serial tail that grows with partition count
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
     )
     for var in _THREAD_VARS:  # cluster mode: ship to executors too
         b = b.config(f"spark.executorEnv.{var}", "1")

@@ -33,7 +33,7 @@ import time
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-N_DOCS = 20_000
+N_DOCS = 60_000  # long enough legs that fixed overheads amortize
 OVERSIZE_MAX = 2_000_000
 N_SMALL = 8
 N_BIG = 32
@@ -49,6 +49,7 @@ def leg(cores: int) -> None:
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
+        extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(str(FIXTURE))
@@ -63,9 +64,10 @@ def leg(cores: int) -> None:
         shutil.rmtree(out, ignore_errors=True)
         return n / dt
 
-    one("warm", docs.limit(2000))  # JIT + cache warmup, untimed
-    # C2 compilation of the codegen'd scan keeps paying off through the first
-    # full run; take the best of 3 so both legs measure steady state
+    # FULL untimed warmup run: C2 compilation and the spawn+import of every
+    # python worker keep paying off through the first complete pass (a
+    # limit() warmup leaves most workers cold); then best-of-3 steady state
+    one("warm", docs)
     best = max(one("t1", docs), one("t2", docs), one("t3", docs))
     print(f"RATE {best:.2f}", flush=True)
     spark.stop()
