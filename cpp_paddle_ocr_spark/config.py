@@ -43,6 +43,13 @@ MIN_SPAN_CHARS_PRE = 3
 #: (src/postprocess_op.cpp:333-362). 1-D analog: span char length < 5.
 MIN_SPAN_CHARS = 5
 
+#: Span score mode: "fast" = plain mean of token probs (BoxScoreFast D9,
+#: the live config, ``src/ocr_worker.cpp:32``); "slow" = char-length-weighted
+#: mean (the exact-polygon-area analog of PolygonScoreAcc D10,
+#: ``src/postprocess_op.cpp:170-214`` — lib-only in the reference, provided
+#: as the same parity knob).
+DET_SCORE_MODE = "fast"
+
 #: NMS IoU threshold (reference default 0.5,
 #: include/paddle_ocr/postprocess_op.h:104,125). Promoted from lib to live
 #: per SURVEY.md §2.6 O3.

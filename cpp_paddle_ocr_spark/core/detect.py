@@ -39,6 +39,7 @@ import numpy as np
 from ..config import (
     DET_BOX_THRESH,
     DET_DB_THRESH,
+    DET_SCORE_MODE,
     MAX_CANDIDATES,
     MIN_SPAN_CHARS,
     MIN_SPAN_CHARS_PRE,
@@ -184,8 +185,15 @@ def _page_arrays(
     )
 
 
-def detect_page(doc: str, blocks: list[Block]) -> list[Span]:
-    """Run the full det chain on one parsed page → candidate spans."""
+def detect_page(
+    doc: str, blocks: list[Block], score_mode: str = DET_SCORE_MODE
+) -> list[Span]:
+    """Run the full det chain on one parsed page → candidate spans.
+
+    ``score_mode``: "fast" = mean token prob (D9, the live config); "slow" =
+    char-length-weighted mean (D10 ``PolygonScoreAcc`` analog — the exact
+    integral over the span instead of the bbox-mask approximation).
+    """
     page, doc_off, link, hint, bid = _page_arrays(doc, blocks)
     cp = codepoints(page)
     if cp.size == 0:
@@ -236,8 +244,13 @@ def detect_page(doc: str, blocks: list[Block]) -> list[Span]:
     rstarts = np.where(new_run)[0]
     rends = np.where(end_run)[0] + 1
 
-    # cumulative prob sums for O(1) run means (D9 fast mode)
-    cprob = np.concatenate(([0.0], np.cumsum(probs)))
+    # cumulative prob sums for O(1) run means (D9 fast / D10 slow modes)
+    if score_mode == "slow":
+        cprob = np.concatenate(([0.0], np.cumsum(probs * tok_len)))
+        cw = np.concatenate(([0.0], np.cumsum(tok_len)))
+    else:
+        cprob = np.concatenate(([0.0], np.cumsum(probs)))
+        cw = None
 
     # --- first pass: qualifying runs (D8 pre-size + D11 score filters) -----
     runs: list[tuple[int, int, float]] = []
@@ -245,7 +258,10 @@ def detect_page(doc: str, blocks: list[Block]) -> list[Span]:
         cs, ce = int(tstarts[rs]), int(tends[re_ - 1])
         if ce - cs < MIN_SPAN_CHARS_PRE:  # D8 ssid<3
             continue
-        score = (cprob[re_] - cprob[rs]) / (re_ - rs)
+        if cw is not None:  # D10: char-weighted exact integral
+            score = (cprob[re_] - cprob[rs]) / (cw[re_] - cw[rs])
+        else:  # D9: plain token mean (live config)
+            score = (cprob[re_] - cprob[rs]) / (re_ - rs)
         if score < DET_BOX_THRESH:  # D11
             continue
         runs.append((rs, re_, float(score)))

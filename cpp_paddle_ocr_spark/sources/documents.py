@@ -58,3 +58,11 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     if "/" in path or path.endswith(".parquet"):
         return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
     return spark.read.table(path)
+
+
+def from_base64(df: DataFrame, col: str = "html_b64") -> DataFrame:
+    """S2: base64 transport source (``src/ocr_ipc_service.cpp:16-43``):
+    pages arriving base64-encoded (e.g. JSON sidecar feeds) → binary html."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("html", F.unbase64(F.col(col))).drop(col)

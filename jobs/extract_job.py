@@ -27,6 +27,13 @@ def main(argv: list[str]) -> None:
     p.add_argument("--groups", type=int, default=8)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--generate", type=int, default=None)
+    p.add_argument(
+        "--status",
+        action="store_true",
+        help="print lineage/metrics summary for --output and exit "
+        "(the 'status' verb of the reference's request router P5, "
+        "src/ocr_ipc_service.cpp:438-448)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -39,6 +46,23 @@ def main(argv: list[str]) -> None:
     )
 
     spark = SparkSession.builder.appName("extract-job").getOrCreate()
+    if args.status:
+        from pyspark.sql import functions as F
+
+        from cpp_paddle_ocr_spark.lineage import read_lineage
+
+        lin = read_lineage(spark, args.output)
+        summary = lin.groupBy("run_id").agg(
+            F.countDistinct("bucket").alias("buckets"),
+            F.sum("n_pages").alias("n_pages"),
+            F.sum("n_ok").alias("n_ok"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.max("committed_at").alias("last_commit"),
+        )
+        summary.show(truncate=False)
+        spark.stop()
+        return
+
     if args.generate:
         docs = generate_documents(spark, args.generate)
     elif args.input:
