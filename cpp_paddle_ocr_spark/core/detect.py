@@ -150,14 +150,17 @@ def _page_arrays(
     separated by a single '\\n' marker char (block_id -1) so token runs can
     never cross a block boundary.
     """
+    # int32 everywhere: offsets index the truncated doc (< MAX_DOC_CHARS) and
+    # block ids are < MAX_CANDIDATES — the extraction kernel is memory-
+    # bandwidth-bound at high core counts, so element width matters
     texts: list[str] = []
     offs: list[np.ndarray] = []
     links: list[np.ndarray] = []
     hints: list[np.ndarray] = []
     bids: list[np.ndarray] = []
-    sep_off = np.array([-1], dtype=np.int64)
+    sep_off = np.array([-1], dtype=np.int32)
     sep_f = np.array([False])
-    sep_b = np.array([-1], dtype=np.int64)
+    sep_b = np.array([-1], dtype=np.int32)
     for bi, block in enumerate(blocks):
         if bi > 0:
             texts.append("\n")
@@ -168,13 +171,13 @@ def _page_arrays(
         n_chars = 0
         for (s, e), lk in zip(block.segments, block.seg_link):
             texts.append(doc[s:e])
-            offs.append(np.arange(s, e, dtype=np.int64))
+            offs.append(np.arange(s, e, dtype=np.int32))
             links.append(np.full(e - s, bool(lk)))
             n_chars += e - s
         hints.append(np.full(n_chars, bool(block.hint)))
-        bids.append(np.full(n_chars, block.block_id, dtype=np.int64))
+        bids.append(np.full(n_chars, block.block_id, dtype=np.int32))
     if not texts:
-        z = np.empty(0, np.int64)
+        z = np.empty(0, np.int32)
         return "", z, np.empty(0, bool), np.empty(0, bool), z
     return (
         "".join(texts),

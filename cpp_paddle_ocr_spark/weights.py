@@ -97,7 +97,10 @@ CLS_CLASS_LOGITS = np.array(
     [
         [0.00, 0.00],   # 0 pad
         [0.060, -0.060],  # 1 lower
-        [-0.045, 0.045],  # 2 upper
+        [-0.090, 0.090],  # 2 upper (ALL-CAPS runs are the telltale of CTA
+                          #   boilerplate; prose has few upper chars, so the
+                          #   per-char weight can be strong without flipping
+                          #   sentence-case content)
         [-0.010, 0.010],  # 3 digit
         [0.010, -0.010],  # 4 space
         [-0.015, 0.015],  # 5 punct
