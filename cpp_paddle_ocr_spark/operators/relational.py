@@ -179,6 +179,53 @@ FROM events
 """
 
 
+def broadcast_join_agg(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Dimension-join + aggregation with explicit broadcast of the small
+    sides (the general engine competence the extraction pipeline rests on:
+    at 10^12 rows the fact table never shuffles for a dimension join).
+
+    Revenue by nation and order status; all money sums are exact-integer
+    cents so the doubles round identically across engines.
+    """
+    # floor(x+0.5): explicit round-half-up — Spark's double→long cast
+    # truncates while DuckDB's rounds, so neither bare cast is portable
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return (
+        orders.withColumn("cents", cents)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+BROADCAST_JOIN_SQL = """
+SELECT n.n_name, o.o_orderstatus,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS revenue,
+       count(DISTINCT o.o_custkey) AS n_customers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, o.o_orderstatus
+"""
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return broadcast_join_agg(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
 def q_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return status_agg(load(spark, sf_dir, "documents"))
 
@@ -204,6 +251,7 @@ def q_doc_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "broadcast_join_agg": q_broadcast_join,
     "status_agg": q_status,
     "threshold_filter": q_threshold,
     "topk_per_group": q_topk,
@@ -213,6 +261,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "broadcast_join_agg": BROADCAST_JOIN_SQL,
     "status_agg": STATUS_SQL,
     "threshold_filter": THRESHOLD_SQL,
     "topk_per_group": TOPK_SQL,
