@@ -149,6 +149,39 @@ LIMIT {TOPK}
 """
 
 
+def lsh_neardup_pairs(df: DataFrame, thresh: float = 0.9) -> DataFrame:
+    """Full-table embedding near-dup at scale: bucket self-join + exact
+    cosine verify — the production path behind
+    ``dedup.embedding_neardup_pairs`` (whose brute-force window is the
+    correctness baseline).
+
+    Scale shape: the shuffle key is the 8-bit LSH bucket (≈n/256 rows per
+    bucket), so the join explodes per-bucket, never n². Recall is bounded by
+    the hyperplane count: near-identical vectors (cosine ≥ 0.9) land in the
+    same bucket with high probability; increase ``N_PLANES`` bands for
+    higher recall in exchange for candidate volume.
+    """
+    e = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("bucket", _bucket_col("emb"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                F.expr(_dot_expr("a.emb", "b.emb"))
+                / (F.expr(_norm_expr("a.emb")) * F.expr(_norm_expr("b.emb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= thresh)
+    )
+    return pairs
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load(spark, sf_dir, "embeddings"))
 

@@ -1,0 +1,55 @@
+"""Similarity/dedup operator semantics beyond the oracle checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_paddle_ocr_spark.operators.dedup import embedding_neardup_pairs
+from cpp_paddle_ocr_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_ann,
+    lsh_neardup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_lsh_neardup_subset_of_bruteforce(spark, embeddings):
+    # every LSH-found pair must be a true near-dup pair (precision = 1:
+    # exact cosine verify runs on candidates); recall bounded by bucketing
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_pairs(embeddings, vec_cap=10**9, thresh=0.9).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in lsh_neardup_pairs(embeddings, thresh=0.9).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert brute[k] == v
+    if brute:
+        recall = len(lsh) / len(brute)
+        assert recall > 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_ann_topk_contains_bucket_hits(spark, embeddings):
+    exact = [r.vec_id for r in cosine_topk(embeddings).collect()]
+    approx = [r.vec_id for r in lsh_bucketed_ann(embeddings).collect()]
+    assert len(exact) == 10
+    # ANN results are ranked by the same exact cosine, restricted to the
+    # query bucket: every ANN hit that IS in the exact top-10 must appear in
+    # the same relative order
+    common = [v for v in exact if v in set(approx)]
+    assert [v for v in approx if v in set(exact)] == common
+
+
+def test_ann_broadcast_no_full_shuffle(spark, embeddings):
+    plan = lsh_bucketed_ann(embeddings)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
