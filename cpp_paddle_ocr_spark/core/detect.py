@@ -49,6 +49,24 @@ from ..config import (
 from ..weights import DET_B, DET_MEAN, DET_SCALE, DET_W, STOPWORDS
 from .html_parse import Block
 
+# Stopword membership, vectorized: every stopword is ≤ _STOP_MAXLEN chars of
+# pure a-z, so a token can be packed into an int64 (5 bits per char) and
+# matched with one sorted np.isin — no per-token Python in the det kernel.
+_STOP_MAXLEN = max(len(w) for w in STOPWORDS)
+assert all(len(w) <= 12 and w.isascii() and w.islower() and w.isalpha() for w in STOPWORDS)
+
+
+def _pack_word(w: str) -> int:
+    v = 0
+    for ch in w:
+        v = (v << 5) | (ord(ch) - 96)  # a=1 .. z=26
+    return v
+
+
+_STOPWORDS_PACKED = np.sort(
+    np.fromiter((_pack_word(w) for w in STOPWORDS), np.int64, len(STOPWORDS))
+)
+
 # Whitespace lookup table (fixed set → deterministic tokenization everywhere):
 # ASCII \t..\r, space, NBSP, U+1680, U+2000-200B, U+2028/29/2F, U+205F, U+3000.
 _WS_TABLE = np.zeros(0x3001, dtype=bool)
@@ -75,7 +93,12 @@ def codepoints(text: str) -> np.ndarray:
 
 
 def ws_mask(cp: np.ndarray) -> np.ndarray:
-    return _WS_TABLE[np.minimum(cp, 0x3000)]
+    # Codepoints above the table (CJK ideographs, Hangul, emoji, SMP) are
+    # never whitespace → gather through a known-False index (0x21, '!'),
+    # mirroring core/decode.py::_drop_mask. (An earlier clamp to 0x3000 —
+    # ideographic space, True — silently classified ALL such text as
+    # whitespace, destroying non-Latin content end-to-end.)
+    return _WS_TABLE[np.where(cp > 0x3000, 0x21, cp)]
 
 
 def _token_runs(mask_nonws: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -226,10 +249,22 @@ def detect_page(
     feats[:, 1] = seg_sum(alpha) / tok_len
     feats[:, 2] = seg_sum(digit) / tok_len
     feats[:, 3] = seg_sum(punct) / tok_len
-    feats[:, 4] = [
-        1.0 if page[s:e].lower() in STOPWORDS else 0.0
-        for s, e in zip(tstarts.tolist(), tends.tolist())
-    ]
+    # stopword flag, fully vectorized (semantically identical to
+    # `page[s:e].lower() in STOPWORDS`): only tokens of ≤ _STOP_MAXLEN pure
+    # case-folded a-z chars can match, and those pack into one int64 each
+    folded = np.where(upper, cp + 32, cp)
+    lower_alpha = (folded >= 97) & (folded <= 122)
+    eligible = (tok_len <= _STOP_MAXLEN) & (seg_sum(lower_alpha) == tok_len)
+    packed = np.zeros(n, dtype=np.int64)
+    tok_len_i = tends - tstarts
+    last = cp.size - 1
+    for k in range(_STOP_MAXLEN):
+        has_k = tok_len_i > k
+        ck = folded[np.minimum(tstarts + k, last)].astype(np.int64) - 96
+        packed = np.where(has_k, (packed << 5) | np.clip(ck, 0, 31), packed)
+    feats[:, 4] = np.where(
+        eligible & np.isin(packed, _STOPWORDS_PACKED), 1.0, 0.0
+    )
     feats[:, 5] = seg_sum(upper) / tok_len
     feats[:, 6] = seg_sum(link) > 0
     feats[:, 7] = seg_sum(hint) > 0

@@ -142,3 +142,51 @@ def test_codepoints_roundtrip_and_ws():
     cp = codepoints("a b c　d")
     ws = ws_mask(cp)
     assert ws.tolist() == [False, True, False, True, False, True, False]
+
+
+def test_cjk_not_whitespace_and_extracted():
+    # regression: ws_mask used to clamp cp>0x3000 to U+3000 (ideographic
+    # space), classifying ALL CJK/Hangul/emoji as whitespace and destroying
+    # non-Latin content end-to-end
+    cjk = "数据处理引擎高效提取网页正文内容分布式计算系统架构设计与实现方案"
+    assert not ws_mask(codepoints(cjk)).any()
+    assert ws_mask(codepoints("　 \t")).all()  # real ws still ws
+    spans = run(f"<p>{cjk}。</p>")
+    assert len(spans) == 1 and cjk in spans[0].text
+
+
+def test_cjk_survives_recognition():
+    from cpp_paddle_ocr_spark.core.decode import recognize_spans
+
+    text, conf = recognize_spans(["数据处理引擎 — résumé ✓"])[0]
+    assert text == "数据处理引擎 — résumé ✓"
+    assert 0.75 <= conf < 1.0
+
+
+def test_stopword_feature_matches_python_semantics():
+    # the vectorized packed-int64 stopword flag must equal the literal
+    # `page[s:e].lower() in STOPWORDS` per token
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.core import detect as D
+    from cpp_paddle_ocr_spark.weights import STOPWORDS
+
+    page = "The AND itS 数据 café a I shouldest zzz der Öl el-e of. in"
+    cp = codepoints(page)
+    ws = ws_mask(cp)
+    ts, te = D._token_runs(~ws)
+    expected = [1.0 if page[s:e].lower() in STOPWORDS else 0.0
+                for s, e in zip(ts.tolist(), te.tolist())]
+    upper = (cp >= 65) & (cp <= 90)
+    folded = np.where(upper, cp + 32, cp)
+    lower_alpha = (folded >= 97) & (folded <= 122)
+    c = np.concatenate(([0], np.cumsum(lower_alpha.astype(np.int64))))
+    tok_len = (te - ts).astype(np.float64)
+    eligible = (tok_len <= D._STOP_MAXLEN) & ((c[te] - c[ts]) == tok_len)
+    packed = np.zeros(ts.size, dtype=np.int64)
+    for k in range(D._STOP_MAXLEN):
+        has_k = (te - ts) > k
+        ck = folded[np.minimum(ts + k, cp.size - 1)].astype(np.int64) - 96
+        packed = np.where(has_k, (packed << 5) | np.clip(ck, 0, 31), packed)
+    got = np.where(eligible & np.isin(packed, D._STOPWORDS_PACKED), 1.0, 0.0)
+    assert got.tolist() == expected
