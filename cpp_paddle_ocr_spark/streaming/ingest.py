@@ -11,22 +11,32 @@ Two forms:
   guards internally, so no union-of-branches is needed on the streaming
   plan).
 * ``run_stream_job`` — file-source → ``foreachBatch`` running the full
-  guarded batch operator (JVM-side guards + size routing) with exactly-once
-  sink semantics via the streaming checkpoint — the streaming counterpart of
-  the lineage/resume protocol.
+  guarded batch operator (JVM-side guards + size routing). ``foreachBatch``
+  is at-least-once, so the sink is made idempotent: output is partitioned by
+  ``epoch_id`` and written with dynamic partition overwrite — a retried
+  epoch REPLACES its own partition (extraction is deterministic, so the
+  replay is byte-identical), giving exactly-once *visible* results on top of
+  the streaming checkpoint — the streaming counterpart of the lineage/resume
+  protocol.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.extract import _extract_fn, extract
+from ..operators.extract import _extract_fn, extract, prepare_routed
 from ..schemas import DOCUMENTS_SCHEMA, OUTPUT_SCHEMA
 
 
 def extract_stream(stream_df: DataFrame) -> DataFrame:
-    """Stateless streaming transform: pages → extraction rows."""
-    return stream_df.select("url", "html").mapInPandas(
+    """Stateless streaming transform: pages → extraction rows.
+
+    ``prepare_routed`` is a plain projection (streaming-safe): it computes
+    the (html_size, route) columns the extraction payload requires and
+    blanks guard-row bytes before the Arrow channel, exactly like the batch
+    operator.
+    """
+    return prepare_routed(stream_df.select("url", "html")).mapInPandas(
         _extract_fn(None), OUTPUT_SCHEMA
     )
 
@@ -46,7 +56,18 @@ def run_stream_job(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        extract(batch_df).write.mode("append").parquet(out_dir)
+        # idempotent epoch replay: dynamic overwrite of THIS epoch's
+        # partition only — a blind append would duplicate rows whenever
+        # foreachBatch retries an epoch after a failure
+        sess = batch_df.sparkSession
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            extract(batch_df)
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(sink)

@@ -29,9 +29,15 @@ def test_stream_job_matches_golden(spark, tmp_path, golden_checksums):
         assert sha(r.extracted_text) == digest
 
 
-def test_extract_stream_is_streaming_plan(spark, tmp_path):
+def test_extract_stream_executes_and_matches_golden(
+    spark, tmp_path, golden_checksums
+):
+    # regression: extract_stream used to feed raw (url, html) into a payload
+    # expecting prepare_routed's (html_size, route) columns — the plan built
+    # fine but KeyError'd on the first REAL micro-batch, so this test must
+    # actually execute the stream, not just inspect the schema
     in_dir = str(tmp_path / "in2")
-    generate_documents(spark, 10, oversize_max=2_000_000).write.parquet(in_dir)
+    generate_documents(spark, 40, oversize_max=2_000_000).write.parquet(in_dir)
     from cpp_paddle_ocr_spark.schemas import DOCUMENTS_SCHEMA
 
     s = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(in_dir)
@@ -40,3 +46,37 @@ def test_extract_stream_is_streaming_plan(spark, tmp_path):
     assert [f.name for f in out.schema.fields][:4] == [
         "url", "success", "error", "n_blocks",
     ]
+    q = (
+        out.writeStream.format("memory")
+        .queryName("extract_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from extract_stream_t").collect()
+    assert len(rows) == 40
+    for r in rows:
+        digest, success, n_blocks = golden_checksums[r.url]
+        assert r.success == success and r.n_blocks == n_blocks
+        assert sha(r.extracted_text) == digest
+
+
+def test_stream_sink_epoch_replay_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: simulate an epoch retry by deleting the
+    # checkpoint and re-running the job over the same input — the epoch_id
+    # partitions are dynamically overwritten, so row count must not grow
+    import shutil
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in3"),
+        str(tmp_path / "out3"),
+        str(tmp_path / "ckpt3"),
+    )
+    generate_documents(spark, 30, oversize_max=2_000_000).write.parquet(in_dir)
+    run_stream_job(spark, in_dir, out_dir, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 30
+    shutil.rmtree(ckpt)  # forget progress → full replay of every epoch
+    run_stream_job(spark, in_dir, out_dir, ckpt).awaitTermination(120)
+    df = spark.read.parquet(out_dir)
+    assert df.count() == 30  # a blind append sink would give 60
+    assert df.select("url").distinct().count() == 30
