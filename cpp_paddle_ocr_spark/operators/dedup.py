@@ -127,13 +127,27 @@ SELECT doc_id, {mins} FROM toks u GROUP BY doc_id
 MINHASH_SQL = _minhash_sql()
 
 
-def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
+#: Per-band-key member cap: a key with more members than this switches from
+#: the k² self-join to anchor-star pairs (each member paired with the key's
+#: min doc_id). A k-duplicate cluster then emits O(k) rows per band instead
+#: of O(k²) on one shuffle partition — the classic LSH skew bomb under
+#: duplicate-heavy crawls — while union-find over the star still
+#: reconstructs the full cluster. 256² ≈ 65k rows is the worst per-key join
+#: output a single partition ever materializes.
+BAND_KEY_CAP = 256
+
+
+def lsh_candidate_pairs(df: DataFrame, band_cap: int = BAND_KEY_CAP) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any of 4 (2-row) bands.
 
     The band fan-out is a single ``explode`` over the signature row (NOT a
     union of per-band selects — that re-runs the signature aggregation once
-    per band; measured 4× on the wide input).
+    per band; measured 4× on the wide input). Band keys over ``band_cap``
+    members degrade to anchor-star pairs (see BAND_KEY_CAP) so output and
+    shuffle stay O(k) per key, never O(k²).
     """
+    from pyspark.sql import Window
+
     sig = minhash_signatures(df)
     keys = F.array(
         *[
@@ -147,21 +161,33 @@ def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
         ]
     )
     all_bands = sig.select("doc_id", F.explode(keys).alias("band_key"))
-    left = all_bands.alias("l")
-    right = all_bands.alias("r")
-    pairs = (
-        left.join(right, "band_key")
+    w = Window.partitionBy("band_key")
+    counted = all_bands.select(
+        "doc_id",
+        "band_key",
+        F.count("*").over(w).alias("n_key"),
+        F.min("doc_id").over(w).alias("anchor"),
+    )
+    small = counted.filter(F.col("n_key") <= band_cap)
+    dense_pairs = (
+        small.alias("l")
+        .join(small.alias("r"), "band_key")
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
-    return pairs
+    star_pairs = (
+        counted.filter(
+            (F.col("n_key") > band_cap) & (F.col("doc_id") != F.col("anchor"))
+        )
+        .select(F.col("anchor").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return dense_pairs.unionByName(star_pairs).distinct()
 
 
-def _lsh_sql() -> str:
+def _lsh_sql(band_cap: int = BAND_KEY_CAP) -> str:
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, concat('{band}', '_', s{2 * band}::VARCHAR, '_', "
         f"s{2 * band + 1}::VARCHAR) AS band_key FROM sig"
@@ -169,10 +195,21 @@ def _lsh_sql() -> str:
     )
     return f"""
 WITH sig AS ({MINHASH_SQL}),
-bands AS ({band_selects})
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r USING (band_key)
-WHERE l.doc_id < r.doc_id
+bands AS ({band_selects}),
+counted AS (
+  SELECT doc_id, band_key,
+         count(*) OVER (PARTITION BY band_key) AS n_key,
+         min(doc_id) OVER (PARTITION BY band_key) AS anchor
+  FROM bands
+)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM counted l JOIN counted r USING (band_key)
+  WHERE l.n_key <= {band_cap} AND r.n_key <= {band_cap} AND l.doc_id < r.doc_id
+  UNION ALL
+  SELECT anchor AS doc_a, doc_id AS doc_b
+  FROM counted WHERE n_key > {band_cap} AND doc_id <> anchor
+)
 """
 
 
@@ -226,10 +263,12 @@ def ngram_jaccard_pairs(df: DataFrame, doc_cap: int = NGRAM_DOC_CAP) -> DataFram
 
 NGRAM_SQL = f"""
 WITH grams AS (
+  -- per-row lateral series, exactly mirroring Spark's sequence() (a fixed
+  -- 4096 bound silently diverged for any text longer than ~4100 chars)
   SELECT DISTINCT d.doc_id, substr(d.text, g.i, {NGRAM_N}) AS gram
-  FROM documents d, generate_series(1, 4096) g(i)
+  FROM documents d,
+       unnest(generate_series(1, greatest(length(d.text) - {NGRAM_N - 1}, 1))) g(i)
   WHERE d.doc_id < {NGRAM_DOC_CAP}
-    AND g.i <= greatest(length(d.text) - {NGRAM_N - 1}, 1)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
 ), inter AS (

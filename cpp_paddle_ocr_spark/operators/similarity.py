@@ -149,7 +149,19 @@ LIMIT {TOPK}
 """
 
 
-def lsh_neardup_pairs(df: DataFrame, thresh: float = 0.9) -> DataFrame:
+#: Per-bucket member cap for the full-table near-dup self-join: a bucket
+#: with more members than this (a duplicate-heavy crawl puts a k-identical
+#: cluster into ONE bucket → k² join rows on one shuffle partition) degrades
+#: to anchor-star pairs — each member is cosine-verified against the
+#: bucket's min vec_id only, O(k) output. Union-find over the star still
+#: recovers the duplicate cluster; member↔member pairs inside over-cap
+#: buckets are the traded-away recall.
+BUCKET_CAP = 1024
+
+
+def lsh_neardup_pairs(
+    df: DataFrame, thresh: float = 0.9, bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
     """Full-table embedding near-dup at scale: bucket self-join + exact
     cosine verify — the production path behind
     ``dedup.embedding_neardup_pairs`` (whose brute-force window is the
@@ -159,16 +171,23 @@ def lsh_neardup_pairs(df: DataFrame, thresh: float = 0.9) -> DataFrame:
     bucket), so the join explodes per-bucket, never n². Recall is bounded by
     the hyperplane count: near-identical vectors (cosine ≥ 0.9) land in the
     same bucket with high probability; increase ``N_PLANES`` bands for
-    higher recall in exchange for candidate volume.
+    higher recall in exchange for candidate volume. Buckets over
+    ``bucket_cap`` members emit anchor-star pairs only (see BUCKET_CAP).
     """
-    e = df.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("bucket", _bucket_col("emb"))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket")
+    e = (
+        df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .withColumn("bucket", _bucket_col("emb"))
+        .withColumn("n_bucket", F.count("*").over(w))
+        .withColumn("anchor", F.min("vec_id").over(w))
+    )
+
+    def scored(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
@@ -176,10 +195,26 @@ def lsh_neardup_pairs(df: DataFrame, thresh: float = 0.9) -> DataFrame:
                 / (F.expr(_norm_expr("a.emb")) * F.expr(_norm_expr("b.emb"))),
                 6,
             ).alias("cosine"),
+        ).filter(F.col("cosine") >= thresh)
+
+    small = e.filter(F.col("n_bucket") <= bucket_cap)
+    dense = scored(
+        small.alias("a").join(
+            small.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(F.col("cosine") >= thresh)
     )
-    return pairs
+    big = e.filter(F.col("n_bucket") > bucket_cap)
+    star = scored(
+        big.filter(F.col("vec_id") == F.col("anchor"))
+        .alias("a")
+        .join(
+            big.filter(F.col("vec_id") != F.col("anchor")).alias("b"),
+            F.col("a.bucket") == F.col("b.bucket"),
+        )
+    )
+    return dense.unionByName(star)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

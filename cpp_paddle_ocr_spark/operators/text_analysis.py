@@ -149,8 +149,8 @@ FINGERPRINT_SQL = f"""
 SELECT d.doc_id,
        md5(regexp_replace(lower(any_value(d.text)), '\\s+', ' ', 'g')) AS fp_md5,
        min({h60_sql('substr(d.text, g.i, 16)')}) AS fp_winnow
-FROM documents d, generate_series(1, 4096) g(i)
-WHERE g.i <= greatest(length(d.text) - 15, 1)
+FROM documents d,
+     unnest(generate_series(1, greatest(length(d.text) - 15, 1))) g(i)
 GROUP BY d.doc_id
 """
 
