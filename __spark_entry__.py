@@ -59,6 +59,38 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_meta(media)
 
 
+_GOLDEN_TSV = str(
+    __import__("pathlib").Path(__file__).resolve().parent
+    / "tests"
+    / "golden"
+    / "CHECKSUMS.tsv"
+)
+_N_GOLDEN = 2000  # rows in the committed golden set (scripts/gen_golden.py)
+
+
+def _q_extract_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-oracle row for the flagship cascade: re-extract the golden
+    fixture set and emit (url, sha256(extracted_text), success, n_blocks);
+    the DuckDB oracle reads the COMMITTED golden TSV — values are pinned by
+    the repo, not derived from this run, so a hash-green here means the
+    distributed pipeline reproduces the committed reference bytes."""
+    docs = generate_documents(spark, _N_GOLDEN, oversize_max=2_000_000)
+    return extract(docs).select(
+        "url",
+        F.sha2(F.col("extracted_text"), 256).alias("digest"),
+        F.col("success").cast("int").alias("success"),
+        F.col("n_blocks").alias("n_blocks"),
+    )
+
+
+_EXTRACT_GOLDEN_SQL = f"""
+SELECT url, digest, success, n_blocks
+FROM read_csv('{_GOLDEN_TSV}', delim='\t', header=false,
+              columns={{'url': 'VARCHAR', 'digest': 'VARCHAR',
+                        'success': 'INTEGER', 'n_blocks': 'INTEGER'}})
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
@@ -70,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_pages"] = _q_extract_pages
     q["extract_pages_staged"] = _q_extract_staged
     q["multimodal_meta"] = _q_multimodal_meta
+    # the cascade's full-oracle row: checked against the COMMITTED golden TSV
+    q["extract_golden_parity"] = _q_extract_golden_parity
     return q
 
 
@@ -79,4 +113,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(text_analysis.ORACLES)
     o.update(dedup.ORACLES)
     o.update(similarity.ORACLES)
+    o["extract_golden_parity"] = _EXTRACT_GOLDEN_SQL
     return o

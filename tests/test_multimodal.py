@@ -41,9 +41,81 @@ def test_decode_meta_deterministic(spark, media):
     assert a == b
 
 
-def test_real_decode_is_explicit_stub(spark, media):
+def _make_png(w: int, h: int) -> bytes:
+    """A minimal VALID PNG built with stdlib only (zlib + manual chunks)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x80\x80\x80" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 20
+
+
+def _make_jpeg(w: int, h: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_real_decode_parses_true_dims(spark):
+    rows = [
+        ("png", _make_png(37, 21)),
+        ("gif", _make_gif(320, 200)),
+        ("jpg", _make_jpeg(640, 480)),
+        ("bmp", b"BM" + b"\x00" * 16 + (17).to_bytes(4, "little") + (9).to_bytes(4, "little") + b"\x00" * 8),
+        ("wav", b"RIFF" + b"w" * 64),  # no parser → NULL dims, honest
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    meta = {r.url: r for r in decode_media_meta(df, real=True).collect()}
+    assert (meta["png"].width, meta["png"].height) == (37, 21)
+    assert (meta["gif"].width, meta["gif"].height) == (320, 200)
+    assert (meta["jpg"].width, meta["jpg"].height) == (640, 480)
+    assert (meta["bmp"].width, meta["bmp"].height) == (17, 9)
+    assert meta["wav"].width is None and meta["wav"].media_type == "audio/wav"
+    assert meta["png"].media_type == "image/png"
+
+
+def test_real_decode_never_raises_on_garbage(spark):
+    rows = [
+        ("g1", b"\x89PNG\r\n\x1a"),  # truncated signature
+        ("g2", b"\xff\xd8\xff"),  # JPEG SOI, no SOF
+        ("g3", b"GIF89a\x01"),  # truncated descriptor
+        ("g4", b"BM\x00"),  # truncated BMP
+        ("g5", bytes(range(256))),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    out = decode_media_meta(df, real=True).collect()
+    assert len(out) == 5  # no exceptions, NULL dims where unparseable
+
+
+def test_real_feature_extraction_is_explicit_stub(spark, media):
     with pytest.raises(Exception) as ei:
-        decode_media_meta(media, real=True).collect()
+        extract_media_features(media, real=True).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )

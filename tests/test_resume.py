@@ -78,3 +78,30 @@ def test_rerun_completed_job_is_noop(spark, docs, tmp_path_factory):
     run_extract_job(spark, docs, out, run_id="x", n_buckets=8, n_groups=2, metrics=m)
     assert m["n_pages"].value == 0
     assert len(_snapshot(spark, out)) == N
+
+
+def test_single_source_scan_per_job(spark, tmp_path_factory):
+    # the source must be scanned ONCE per job regardless of n_groups (the
+    # per-group filter used to re-scan it once per commit group): a canary
+    # mapInPandas counts every source row that flows by — 8 groups over a
+    # re-scanning design would count 8x
+    import pandas as pd
+
+    from cpp_paddle_ocr_spark.schemas import DOCUMENTS_SCHEMA
+
+    src = str(tmp_path_factory.mktemp("scan_src") / "docs")
+    generate_documents(spark, N, oversize_max=2_000_000).write.parquet(src)
+    acc = spark.sparkContext.accumulator(0)
+
+    def canary(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    docs_counted = spark.read.parquet(src).mapInPandas(canary, DOCUMENTS_SCHEMA)
+    out = str(tmp_path_factory.mktemp("scan_out"))
+    run_extract_job(
+        spark, docs_counted, out, run_id="s", n_buckets=BUCKETS, n_groups=8
+    )
+    assert acc.value == N, f"source scanned {acc.value / N:.1f}x, expected 1x"
+    assert len(_snapshot(spark, out)) == N
