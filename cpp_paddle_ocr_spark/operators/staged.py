@@ -35,26 +35,42 @@ from ..core.pipeline import decode_html
 from ..schemas import CANDIDATE_SCHEMA, SPAN_SCHEMA
 
 
-def detect_candidates(df: DataFrame) -> DataFrame:
-    """Stage 1 fan-out: pages → candidate-span rows (det chain, D1-D15+O3)."""
+def detect_candidates(df: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Stage 1 fan-out: pages → candidate-span rows (det chain, D1-D15+O3).
+
+    ``id_col`` (optional, long): a unique page id carried through the fan-out
+    so downstream assembly can key on it — required when input urls are not
+    unique (``extract_staged`` threads one automatically)."""
+
+    cols = ["url", "block_id", "start", "end", "text", "det_score"]
+    schema = CANDIDATE_SCHEMA
+    if id_col is not None:
+        cols = [id_col, *cols]
+        schema = T.StructType(
+            [T.StructField(id_col, T.LongType()), *CANDIDATE_SCHEMA.fields]
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ["url", "block_id", "start", "end", "text", "det_score"]}
-            for url, html in zip(pdf["url"], pdf["html"]):
+            out = {k: [] for k in cols}
+            ids = pdf[id_col] if id_col is not None else pdf["url"]
+            for pid, url, html in zip(ids, pdf["url"], pdf["html"]):
                 doc, error = decode_html(html)
                 if error is not None:
                     continue  # guard rows are handled by the page-side ops
                 for s in detect_page(doc, parse_blocks(doc)):
+                    if id_col is not None:
+                        out[id_col].append(pid)
                     out["url"].append(url)
                     out["block_id"].append(s.block_id)
                     out["start"].append(s.start)
                     out["end"].append(s.end)
                     out["text"].append(s.text)
                     out["det_score"].append(s.score)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out, columns=cols)
 
-    return df.select("url", "html").mapInPandas(fn, CANDIDATE_SCHEMA)
+    sel = ["url", "html"] if id_col is None else [id_col, "url", "html"]
+    return df.select(*sel).mapInPandas(fn, schema)
 
 
 _CLS_TYPE = T.StructType(
@@ -108,31 +124,40 @@ def recognize_candidates(df: DataFrame) -> DataFrame:
     )
 
 
-def assemble(spans: DataFrame, pages: DataFrame) -> DataFrame:
+def assemble(
+    spans: DataFrame, pages: DataFrame, id_col: str | None = None
+) -> DataFrame:
     """R8 + O1 in pure SQL: span rows + page rows → OUTPUT_SCHEMA (-time).
 
     ``pages`` must have (url, html); error/early-exit pages come back as
-    guard/empty rows exactly like the fused operator.
+    guard/empty rows exactly like the fused operator. Aggregation keys on
+    ``id_col`` when given (unique page id, see ``detect_candidates``) so
+    duplicate urls each get their own independent output row, matching the
+    fused operator; without it, url uniqueness is an input contract.
     """
     from ..config import MAX_HTML_BYTES  # local import to avoid cycle noise
 
+    key = id_col or "url"
     per_page = (
-        spans.groupBy("url")
+        spans.groupBy(key)
         .agg(
             F.sort_array(
                 F.collect_list(
+                    # full intended sort key FIRST (start, block_id, end),
+                    # then payload fields — a field reorder can no longer
+                    # silently change tie-breaking
                     F.struct(
                         F.col("start"),
                         F.col("block_id"),
-                        F.col("rec_text"),
                         F.col("end"),
+                        F.col("rec_text"),
                         F.col("confidence"),
                     )
                 )
             ).alias("_sorted")
         )
         .select(
-            "url",
+            key,
             F.transform(
                 "_sorted",
                 lambda s: F.struct(
@@ -145,7 +170,7 @@ def assemble(spans: DataFrame, pages: DataFrame) -> DataFrame:
             ).alias("spans"),
         )
         .select(
-            "url",
+            key,
             "spans",
             F.array_join(
                 F.filter(
@@ -157,8 +182,9 @@ def assemble(spans: DataFrame, pages: DataFrame) -> DataFrame:
         )
     )
     size = F.length(F.col("html"))
+    base_cols = ["url"] if id_col is None else [id_col, "url"]
     base = pages.select(
-        "url",
+        *base_cols,
         F.when(F.col("html").isNull() | (size == 0), F.lit("empty html"))
         .when(
             size > MAX_HTML_BYTES,
@@ -177,7 +203,7 @@ def assemble(spans: DataFrame, pages: DataFrame) -> DataFrame:
         .otherwise(F.lit(None))
         .alias("error"),
     )
-    joined = base.join(per_page, "url", "left")
+    joined = base.join(per_page, key, "left")
     return joined.select(
         "url",
         (F.col("error").isNull()).alias("success"),
@@ -193,9 +219,14 @@ def assemble(spans: DataFrame, pages: DataFrame) -> DataFrame:
 
 def extract_staged(df: DataFrame) -> DataFrame:
     """The composed staged pipeline (byte-identical to ``extract`` modulo
-    ``processing_time_ms``; see tests/test_staged.py)."""
-    cands = detect_candidates(df)
+    ``processing_time_ms``; see tests/test_staged.py).
+
+    A unique page id is threaded through the fan-out so inputs with
+    duplicate urls produce one independent output row per input row, exactly
+    like the fused operator (which never groups)."""
+    pages = df.withColumn("_page_id", F.monotonically_increasing_id())
+    cands = detect_candidates(pages, id_col="_page_id")
     classified = classify_candidates(cands)
     survivors = classified.filter(F.col("cls_label") == 0)  # K5, visible
     recognized = recognize_candidates(survivors)
-    return assemble(recognized, df)
+    return assemble(recognized, pages, id_col="_page_id")

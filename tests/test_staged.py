@@ -60,3 +60,25 @@ def test_recognize_adds_decoded_text(spark, docs):
     assert all(0.0 <= r.confidence < 1.0 for r in rows)
     # entities decoded, whitespace collapsed
     assert not any("&amp;" in r.rec_text or "  " in r.rec_text for r in rows)
+
+
+def test_staged_handles_duplicate_urls_like_fused(spark):
+    # regression: url-keyed assembly used to merge all same-url pages' spans
+    # into every output row; the threaded page id keeps rows independent
+    from cpp_paddle_ocr_spark.operators.extract import extract
+    from cpp_paddle_ocr_spark.operators.staged import extract_staged
+
+    html = b"<html><body><p>This is a plain sentence with several ordinary words inside it today.</p></body></html>"
+    docs = spark.createDataFrame(
+        [("https://dup.example/x", html)] * 3 + [("https://uniq.example/y", html)],
+        "url string, html binary",
+    )
+    fused = sorted(
+        (r.url, r.n_blocks, r.extracted_text) for r in extract(docs).collect()
+    )
+    staged = sorted(
+        (r.url, r.n_blocks, r.extracted_text)
+        for r in extract_staged(docs).collect()
+    )
+    assert len(staged) == 4
+    assert staged == fused  # byte-identical per row, dups NOT merged
