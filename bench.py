@@ -64,9 +64,10 @@ def bench_extract(spark, fixture_path: str, n_docs: int) -> tuple[float, int]:
     shutil.rmtree(out_dir, ignore_errors=True)
     docs = spark.read.parquet(fixture_path)
     t0 = time.perf_counter()
-    extract(docs, num_partitions=spark.sparkContext.defaultParallelism).write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    # no repartition: extraction is a pure map over the scan — shuffling raw
+    # html measured ~2x slower in executor-process mode (BENCH/BASELINE.md);
+    # the salted repartition stays available for skewed clusters
+    extract(docs).write.mode("overwrite").parquet(out_dir)
     dt = time.perf_counter() - t0
     n_out = spark.read.parquet(out_dir).count()
     return dt, n_out

@@ -164,51 +164,102 @@ def nms(spans: list[Span], thresh: float = NMS_IOU_THRESH) -> list[Span]:
     return [s for s, a in zip(spans, alive) if a]
 
 
-def _page_arrays(
-    doc: str, blocks: list[Block]
-) -> tuple[str, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Concatenate all block texts into page-level char arrays.
+class _PageMeta:
+    """Segment/block metadata for a concatenated page — O(#segments) memory
+    instead of the per-CHAR offset/link/hint/block arrays an earlier design
+    materialized (10 bytes per char; the extraction kernel is memory-
+    bandwidth-bound at high core counts, so aux bytes/char matter).
 
-    Returns (page_str, doc_off, link, hint, block_id) per char; blocks are
-    separated by a single '\\n' marker char (block_id -1) so token runs can
-    never cross a block boundary.
+    ``doc_off``/``block/link`` queries answer from tiny per-segment arrays
+    via ``searchsorted``, vectorized over span/token boundaries (hundreds per
+    page) rather than chars (millions).
     """
-    # int32 everywhere: offsets index the truncated doc (< MAX_DOC_CHARS) and
-    # block ids are < MAX_CANDIDATES — the extraction kernel is memory-
-    # bandwidth-bound at high core counts, so element width matters
+
+    __slots__ = (
+        "seg_pstart",
+        "seg_dstart",
+        "link_prefix",
+        "blk_pstart",
+        "blk_ids",
+        "blk_hint",
+    )
+
+    def __init__(
+        self,
+        seg_pstart: np.ndarray,
+        seg_dstart: np.ndarray,
+        link_prefix: np.ndarray,
+        blk_pstart: np.ndarray,
+        blk_ids: np.ndarray,
+        blk_hint: np.ndarray,
+    ) -> None:
+        self.seg_pstart = seg_pstart
+        self.seg_dstart = seg_dstart
+        self.link_prefix = link_prefix
+        self.blk_pstart = blk_pstart
+        self.blk_ids = blk_ids
+        self.blk_hint = blk_hint
+
+    def doc_off(self, x: np.ndarray) -> np.ndarray:
+        """Page offsets (must lie inside segments) → doc offsets."""
+        j = np.searchsorted(self.seg_pstart, x, side="right") - 1
+        return self.seg_dstart[j] + (x - self.seg_pstart[j])
+
+    def block_index(self, x: np.ndarray) -> np.ndarray:
+        """Page offsets (token starts) → index into blk_ids/blk_hint."""
+        return np.searchsorted(self.blk_pstart, x, side="right") - 1
+
+    def overlaps_link(self, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+        """True where token [s, e) touches any <a>-segment (feature 6).
+
+        Every segment index between the one containing s and the one
+        containing e-1 intersects the token, so a prefix count of link
+        segments answers in O(log #segments) per token.
+        """
+        j0 = np.searchsorted(self.seg_pstart, starts, side="right") - 1
+        j1 = np.searchsorted(self.seg_pstart, ends - 1, side="right") - 1
+        return (self.link_prefix[j1 + 1] - self.link_prefix[j0]) > 0
+
+
+def _page_arrays(doc: str, blocks: list[Block]) -> tuple[str, _PageMeta]:
+    """Concatenate all block texts into one page string + segment metadata.
+
+    Blocks are separated by a single '\\n' marker char (belonging to no
+    segment/block) so token runs can never cross a block boundary.
+    """
     texts: list[str] = []
-    offs: list[np.ndarray] = []
-    links: list[np.ndarray] = []
-    hints: list[np.ndarray] = []
-    bids: list[np.ndarray] = []
-    sep_off = np.array([-1], dtype=np.int32)
-    sep_f = np.array([False])
-    sep_b = np.array([-1], dtype=np.int32)
+    seg_pstart: list[int] = []
+    seg_dstart: list[int] = []
+    seg_link: list[bool] = []
+    blk_pstart: list[int] = []
+    blk_ids: list[int] = []
+    blk_hint: list[bool] = []
+    pos = 0
     for bi, block in enumerate(blocks):
         if bi > 0:
             texts.append("\n")
-            offs.append(sep_off)
-            links.append(sep_f)
-            hints.append(sep_f)
-            bids.append(sep_b)
-        n_chars = 0
+            pos += 1
+        blk_pstart.append(pos)
+        blk_ids.append(block.block_id)
+        blk_hint.append(bool(block.hint))
         for (s, e), lk in zip(block.segments, block.seg_link):
             texts.append(doc[s:e])
-            offs.append(np.arange(s, e, dtype=np.int32))
-            links.append(np.full(e - s, bool(lk)))
-            n_chars += e - s
-        hints.append(np.full(n_chars, bool(block.hint)))
-        bids.append(np.full(n_chars, block.block_id, dtype=np.int32))
-    if not texts:
-        z = np.empty(0, np.int32)
-        return "", z, np.empty(0, bool), np.empty(0, bool), z
-    return (
-        "".join(texts),
-        np.concatenate(offs),
-        np.concatenate(links),
-        np.concatenate(hints),
-        np.concatenate(bids),
+            seg_pstart.append(pos)
+            seg_dstart.append(s)
+            seg_link.append(bool(lk))
+            pos += e - s
+    link_prefix = np.concatenate(
+        ([0], np.cumsum(np.asarray(seg_link, dtype=np.int32)))
     )
+    meta = _PageMeta(
+        np.asarray(seg_pstart, dtype=np.int64),
+        np.asarray(seg_dstart, dtype=np.int64),
+        link_prefix,
+        np.asarray(blk_pstart, dtype=np.int64),
+        np.asarray(blk_ids, dtype=np.int32),
+        np.asarray(blk_hint, dtype=bool),
+    )
+    return "".join(texts), meta
 
 
 def detect_page(
@@ -220,7 +271,7 @@ def detect_page(
     char-length-weighted mean (D10 ``PolygonScoreAcc`` analog — the exact
     integral over the span instead of the bbox-mask approximation).
     """
-    page, doc_off, link, hint, bid = _page_arrays(doc, blocks)
+    page, meta = _page_arrays(doc, blocks)
     cp = codepoints(page)
     if cp.size == 0:
         return []
@@ -231,48 +282,63 @@ def detect_page(
         return []
 
     # --- per-token features, one vectorized pass per page (D2/D3/D4) -------
-    lower = (cp >= 97) & (cp <= 122)
+    # The kernel is memory-bound at high core counts, so per-char byte
+    # traffic is minimized: per-token sums come from np.add.reduceat over
+    # interleaved token boundaries (never materializing cumsum arrays), and
+    # `alpha` is derived arithmetically — token chars are all non-ws, so
+    # alpha = len - digit - punct by the class definitions.
     upper = (cp >= 65) & (cp <= 90)
-    alpha = lower | upper | ((cp >= 128) & ~ws)
+    letter = upper | ((cp >= 97) & (cp <= 122))
     digit = (cp >= 48) & (cp <= 57)
-    punct = (cp < 128) & ~alpha & ~digit & ~ws
+    punct = (cp < 128) & ~letter & ~digit & ~ws
+
+    ridx = np.empty(2 * n, dtype=np.int64)
+    ridx[0::2] = tstarts
+    ridx[1::2] = tends
+    if ridx[-1] == cp.size:  # reduceat indices must be < len; the final
+        ridx = ridx[:-1]  # segment then runs to the end = the last token
 
     def seg_sum(ind: np.ndarray) -> np.ndarray:
-        # astype before cumsum: the bool→int64 cumsum path is pathologically
-        # slow on large arrays (see core/decode.py)
-        c = np.concatenate(([0], np.cumsum(ind.astype(np.int64))))
-        return (c[tends] - c[tstarts]).astype(np.float64)
+        # dtype=int32 is load-bearing: without it reduceat/accumulate on
+        # bool input takes a buffered-cast loop measuring 3-30x slower
+        return np.add.reduceat(ind, ridx, dtype=np.int32)[0::2].astype(
+            np.float64
+        )
 
     tok_len = (tends - tstarts).astype(np.float64)
+    dsum = seg_sum(digit)
+    psum = seg_sum(punct)
     feats = np.empty((n, 8), dtype=np.float64)
     feats[:, 0] = np.minimum(tok_len, 20.0) / 20.0
-    feats[:, 1] = seg_sum(alpha) / tok_len
-    feats[:, 2] = seg_sum(digit) / tok_len
-    feats[:, 3] = seg_sum(punct) / tok_len
+    feats[:, 1] = (tok_len - dsum - psum) / tok_len  # alpha
+    feats[:, 2] = dsum / tok_len
+    feats[:, 3] = psum / tok_len
     # stopword flag, fully vectorized (semantically identical to
     # `page[s:e].lower() in STOPWORDS`): only tokens of ≤ _STOP_MAXLEN pure
     # case-folded a-z chars can match, and those pack into one int64 each
-    folded = np.where(upper, cp + 32, cp)
-    lower_alpha = (folded >= 97) & (folded <= 122)
-    eligible = (tok_len <= _STOP_MAXLEN) & (seg_sum(lower_alpha) == tok_len)
+    eligible = (tok_len <= _STOP_MAXLEN) & (seg_sum(letter) == tok_len)
     packed = np.zeros(n, dtype=np.int64)
     tok_len_i = tends - tstarts
     last = cp.size - 1
     for k in range(_STOP_MAXLEN):
         has_k = tok_len_i > k
-        ck = folded[np.minimum(tstarts + k, last)].astype(np.int64) - 96
+        ck = cp[np.minimum(tstarts + k, last)].astype(np.int64)
+        ck = np.where((ck >= 65) & (ck <= 90), ck + 32, ck) - 96  # casefold
         packed = np.where(has_k, (packed << 5) | np.clip(ck, 0, 31), packed)
     feats[:, 4] = np.where(
         eligible & np.isin(packed, _STOPWORDS_PACKED), 1.0, 0.0
     )
     feats[:, 5] = seg_sum(upper) / tok_len
-    feats[:, 6] = seg_sum(link) > 0
-    feats[:, 7] = seg_sum(hint) > 0
+    # link/hint from per-segment/per-block metadata (tokens never cross a
+    # block, so the hint flag is the block's; link = any <a>-segment overlap)
+    tok_bidx = meta.block_index(tstarts)
+    feats[:, 6] = meta.overlaps_link(tstarts, tends)
+    feats[:, 7] = meta.blk_hint[tok_bidx]
     probs = score_tokens(feats)
 
     # --- bitmap → runs (D5/D7); a block change also breaks a run -----------
     bitmap = probs >= DET_DB_THRESH
-    tok_block = bid[tstarts]
+    tok_block = meta.blk_ids[tok_bidx]
     new_run = bitmap & np.concatenate(
         ([True], (~bitmap[:-1]) | (tok_block[1:] != tok_block[:-1]))
     )
@@ -290,21 +356,19 @@ def detect_page(
         cprob = np.concatenate(([0.0], np.cumsum(probs)))
         cw = None
 
-    # --- first pass: qualifying runs (D8 pre-size + D11 score filters) -----
-    runs: list[tuple[int, int, float]] = []
-    for rs, re_ in zip(rstarts.tolist(), rends.tolist()):
-        cs, ce = int(tstarts[rs]), int(tends[re_ - 1])
-        if ce - cs < MIN_SPAN_CHARS_PRE:  # D8 ssid<3
-            continue
-        if cw is not None:  # D10: char-weighted exact integral
-            score = (cprob[re_] - cprob[rs]) / (cw[re_] - cw[rs])
-        else:  # D9: plain token mean (live config)
-            score = (cprob[re_] - cprob[rs]) / (re_ - rs)
-        if score < DET_BOX_THRESH:  # D11
-            continue
-        runs.append((rs, re_, float(score)))
-        if len(runs) >= MAX_CANDIDATES:
-            break
+    # --- first pass: qualifying runs (D8 pre-size + D11 score filters),
+    # fully vectorized (boilerplate-heavy pages have thousands of runs) ----
+    run_cs = tstarts[rstarts]
+    run_ce = tends[rends - 1]
+    if cw is not None:  # D10: char-weighted exact integral
+        rscore = (cprob[rends] - cprob[rstarts]) / (cw[rends] - cw[rstarts])
+    else:  # D9: plain token mean (live config)
+        rscore = (cprob[rends] - cprob[rstarts]) / (rends - rstarts)
+    keep = (run_ce - run_cs >= MIN_SPAN_CHARS_PRE) & (rscore >= DET_BOX_THRESH)
+    kidx = np.nonzero(keep)[0][:MAX_CANDIDATES]  # O5 cap, emission order
+    runs: list[tuple[int, int, float]] = list(
+        zip(rstarts[kidx].tolist(), rends[kidx].tolist(), rscore[kidx].tolist())
+    )
 
     # block token bounds for unclip clamping
     blk_first = np.concatenate(([True], tok_block[1:] != tok_block[:-1]))
@@ -339,8 +403,8 @@ def detect_page(
         spans.append(
             Span(
                 block_id=b,
-                start=int(doc_off[cs]),
-                end=int(doc_off[ce - 1]) + 1,
+                start=int(meta.doc_off(np.int64(cs))),
+                end=int(meta.doc_off(np.int64(ce - 1))) + 1,
                 text=page[cs:ce],
                 score=score,
             )
