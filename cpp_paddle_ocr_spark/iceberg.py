@@ -73,8 +73,14 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def _is_table_ident(target: str) -> bool:
-    """Iceberg table identifiers are dotted names, not paths."""
-    return "/" not in target and "\\" not in target
+    """Iceberg table identifiers are DOTTED names (``catalog.db.table``),
+    not paths. Requiring the dot (not merely the absence of a slash) keeps a
+    plain relative output directory like ``"results"`` on the parquet path
+    instead of silently routing it to ``spark.read.table``/``saveAsTable``
+    (round-2 ADVICE)."""
+    return (
+        "." in target and "/" not in target and "\\" not in target
+    )
 
 
 def write_documents(
@@ -107,16 +113,36 @@ def read_documents(spark: SparkSession, target: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
-def overwrite_result_partitions(df: DataFrame, target: str) -> None:
+def overwrite_result_partitions(
+    df: DataFrame, target: str, partition_col: str = "bucket"
+) -> None:
     """Sink for extraction output: ``overwritePartitions`` (atomic metadata
     swap per bucket — idempotent retries) on Iceberg, dynamic partition
-    overwrite on the parquet fallback."""
+    overwrite on the parquet fallback.
+
+    The Iceberg table is CREATED on first write, partitioned by
+    ``partition_col`` — ``overwritePartitions`` against a missing table
+    fails (TABLE_OR_VIEW_NOT_FOUND), and against an *unpartitioned* table it
+    would replace the whole table, clobbering prior commit groups (round-2
+    ADVICE). Creating it partitioned here makes every later group's
+    overwrite scoped to its own partitions."""
     if _is_table_ident(target):
-        df.writeTo(target).overwritePartitions()
-    else:
+        from pyspark.sql import functions as F
+
         sess = df.sparkSession
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df.write.mode("overwrite").partitionBy("bucket").parquet(target)
+        if not sess.catalog.tableExists(target):
+            df.writeTo(target).partitionedBy(F.col(partition_col)).create()
+        else:
+            df.writeTo(target).overwritePartitions()
+    else:
+        # per-WRITE dynamic overwrite — a session-wide conf flip would
+        # silently change overwrite semantics for unrelated writes
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(target)
+        )
 
 
 def snapshots(spark: SparkSession, table: str) -> DataFrame:

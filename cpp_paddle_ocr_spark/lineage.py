@@ -41,11 +41,13 @@ def _bucket_col(n_buckets: int):
 
 
 def _child_target(out_dir: str, name: str) -> str:
-    """Child sink target: ``{out_dir}/{name}`` for paths, ``{out_dir}_{name}``
-    for Iceberg table identifiers (dotted names can't nest a path)."""
-    if "/" in out_dir or "\\" in out_dir:
-        return f"{out_dir}/{name}"
-    return f"{out_dir}_{name}"
+    """Child sink target: ``{out_dir}_{name}`` for Iceberg table identifiers
+    (dotted names can't nest a path), ``{out_dir}/{name}`` for paths."""
+    from .iceberg import _is_table_ident
+
+    if _is_table_ident(out_dir):
+        return f"{out_dir}_{name}"
+    return f"{out_dir}/{name}"
 
 
 def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int]:
@@ -58,10 +60,12 @@ def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    from .iceberg import _is_table_ident
+
     t = _child_target(out_dir, "_lineage")
-    if "/" in t:
-        return spark.read.schema(LINEAGE_SCHEMA).parquet(t)
-    return spark.read.table(t)
+    if _is_table_ident(t):
+        return spark.read.table(t)
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(t)
 
 
 def run_extract_job(
@@ -74,13 +78,26 @@ def run_extract_job(
     num_partitions: int | None = None,
     metrics: dict | None = None,
     fail_after_group: int | None = None,
+    source_table: str | None = None,
 ) -> str:
     """Extract ``docs`` into ``{out_dir}/extracted`` with resume support.
 
     Returns the ``run_id`` (pass it back in to resume after a failure).
+
+    Scan strategy (round-2 verdict #7): when ``source_table`` names an
+    Iceberg table (and the runtime is on the classpath), each commit group
+    re-reads the SOURCE filtered to its buckets — the lineage bucket is then
+    Iceberg's own ``system.bucket(n, url)`` transform, the same transform
+    the documents table is partitioned by (``iceberg.write_documents``), so
+    the filter is a partition predicate and Iceberg prunes data files
+    (system-function pushdown, Iceberg ≥1.3 on Spark ≥3.4): a group's scan
+    reads only its buckets' files, not the whole table. Without Iceberg the
+    job falls back to ONE full scan whose output is persisted
+    (MEMORY_AND_DISK) and sliced per group — right locally, but at 100 TB
+    the extracted output is still O(corpus-text) and can exceed executor
+    storage, which is exactly why the pruned path exists.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     done = completed_buckets(spark, out_dir, run_id)
     todo = [b for b in range(n_buckets) if b not in done]
@@ -89,27 +106,60 @@ def run_extract_job(
 
     group_size = max(1, -(-len(todo) // n_groups))
 
-    # ONE source scan for the whole job: extract every uncommitted bucket in
-    # a single pass and spool the (far smaller) extraction output to executor
-    # storage; the commit-group loop below then writes + commits lineage from
-    # the cache. The earlier per-group design filtered the SOURCE per group —
-    # n_groups full scans of the input (8 × 100 TB at scale) plus a re-read
-    # of the just-written output for stats.
-    from pyspark.storagelevel import StorageLevel
+    from .iceberg import CATALOG, _is_table_ident, iceberg_available
 
-    docs_b = docs.withColumn("_bucket", _bucket_col(n_buckets))
-    if len(todo) < n_buckets:  # resume: only uncommitted buckets
-        docs_b = docs_b.filter(F.col("_bucket").isin(todo))
-    out_all = extract(
-        docs_b.drop("_bucket"), num_partitions=num_partitions, metrics=metrics
-    ).withColumn("bucket", _bucket_col(n_buckets))
-    out_all.persist(StorageLevel.MEMORY_AND_DISK)
+    pruned = (
+        source_table is not None
+        and _is_table_ident(source_table)
+        and iceberg_available(spark)
+    )
+
+    out_all = None
+    if pruned:
+        iceberg_bucket = F.expr(f"{CATALOG}.system.bucket({n_buckets}, url)")
+
+        def group_output(chunk: list[int]) -> DataFrame:
+            src = (
+                spark.read.table(source_table)
+                .withColumn("_bucket", iceberg_bucket)
+                .filter(F.col("_bucket").isin(chunk))
+            )
+            return extract(
+                src.drop("_bucket"),
+                num_partitions=num_partitions,
+                metrics=metrics,
+            ).withColumn("bucket", iceberg_bucket)
+
+    else:
+        # ONE source scan for the whole job: extract every uncommitted
+        # bucket in a single pass and spool the (far smaller) extraction
+        # output to executor storage; the commit-group loop below then
+        # writes + commits lineage from the cache. (A per-group filter of a
+        # non-prunable source would mean n_groups full scans of the input.)
+        from pyspark.storagelevel import StorageLevel
+
+        docs_b = docs.withColumn("_bucket", _bucket_col(n_buckets))
+        if len(todo) < n_buckets:  # resume: only uncommitted buckets
+            docs_b = docs_b.filter(F.col("_bucket").isin(todo))
+        out_all = extract(
+            docs_b.drop("_bucket"),
+            num_partitions=num_partitions,
+            metrics=metrics,
+        ).withColumn("bucket", _bucket_col(n_buckets))
+        out_all.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize the cache BEFORE the timed loop — otherwise the first
+        # group's wall_ms absorbs the whole job's extraction cost and
+        # per-group timings are skewed (round-2 ADVICE)
+        out_all.count()
+
+        def group_output(chunk: list[int]) -> DataFrame:
+            return out_all.filter(F.col("bucket").isin(chunk))
 
     try:
         for g in range(0, len(todo), group_size):
             chunk = todo[g : g + group_size]
             t0 = time.perf_counter()
-            part = out_all.filter(F.col("bucket").isin(chunk))
+            part = group_output(chunk)
             # Iceberg overwritePartitions when out_dir is a table identifier
             # (atomic metadata swap, one snapshot per commit group); dynamic
             # partition overwrite on the parquet path fallback
@@ -145,21 +195,24 @@ def run_extract_job(
             ).withColumn("committed_at", F.current_timestamp())
             lineage = stats.unionByName(empty.join(stats, "bucket", "left_anti"))
             t = _child_target(out_dir, "_lineage")
-            if "/" in t:
-                lineage.write.mode("append").parquet(t)
-            else:  # Iceberg: append creates-or-appends the lineage table
+            if _is_table_ident(t):  # Iceberg: append creates-or-appends
                 lineage.write.mode("append").saveAsTable(t)
+            else:
+                lineage.write.mode("append").parquet(t)
             if fail_after_group is not None and g // group_size >= fail_after_group:
                 raise SimulatedFailure(
                     f"injected failure after commit group {g // group_size}"
                 )
     finally:
-        out_all.unpersist()
+        if out_all is not None:
+            out_all.unpersist()
     return run_id
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    from .iceberg import _is_table_ident
+
     t = _child_target(out_dir, "extracted")
-    if "/" in t:
-        return spark.read.parquet(t)
-    return spark.read.table(t)
+    if _is_table_ident(t):
+        return spark.read.table(t)
+    return spark.read.parquet(t)

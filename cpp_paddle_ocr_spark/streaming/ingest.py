@@ -58,13 +58,14 @@ def run_stream_job(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # idempotent epoch replay: dynamic overwrite of THIS epoch's
         # partition only — a blind append would duplicate rows whenever
-        # foreachBatch retries an epoch after a failure
-        sess = batch_df.sparkSession
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # foreachBatch retries an epoch after a failure. The overwrite mode
+        # is a per-WRITE option, not a session conf flip (which would
+        # silently change overwrite semantics for unrelated writes).
         (
             extract(batch_df)
             .withColumn("epoch_id", F.lit(int(epoch_id)))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch_id")
             .parquet(out_dir)
         )
