@@ -137,12 +137,18 @@ def assemble(
     """
     from ..config import MAX_HTML_BYTES  # local import to avoid cycle noise
 
-    key = id_col or "url"
+    key = [id_col, "url"] if id_col is not None else ["url"]
     per_page = (
-        spans.groupBy(key)
+        spans.groupBy(*key)
         .agg(
             F.sort_array(
-                F.collect_list(
+                # collect_SET, not list: with the deterministic page id
+                # (xxhash64(url, html)), fully-identical input rows share an
+                # id and their fan-out copies emit identical span rows; the
+                # set collapses them back to one span list. Within a single
+                # page spans are unique by (block_id, start), so the set
+                # never drops a legitimate span.
+                F.collect_set(
                     # full intended sort key FIRST (start, block_id, end),
                     # then payload fields — a field reorder can no longer
                     # silently change tie-breaking
@@ -157,7 +163,7 @@ def assemble(
             ).alias("_sorted")
         )
         .select(
-            key,
+            *key,
             F.transform(
                 "_sorted",
                 lambda s: F.struct(
@@ -170,7 +176,7 @@ def assemble(
             ).alias("spans"),
         )
         .select(
-            key,
+            *key,
             "spans",
             F.array_join(
                 F.filter(
@@ -221,10 +227,17 @@ def extract_staged(df: DataFrame) -> DataFrame:
     """The composed staged pipeline (byte-identical to ``extract`` modulo
     ``processing_time_ms``; see tests/test_staged.py).
 
-    A unique page id is threaded through the fan-out so inputs with
-    duplicate urls produce one independent output row per input row, exactly
-    like the fused operator (which never groups)."""
-    pages = df.withColumn("_page_id", F.monotonically_increasing_id())
+    A page id is threaded through the fan-out so inputs with duplicate urls
+    produce one independent output row per input row, exactly like the fused
+    operator (which never groups). The id is DETERMINISTIC —
+    ``xxhash64(url, html)`` — because the lazy ``pages`` plan is evaluated
+    independently by two branches (detect chain + assemble's base side): a
+    nondeterministic id (``monotonically_increasing_id``) could assign
+    different ids to the same row across recomputations (shuffled input,
+    task retry/speculation) and silently mis-join spans to pages. Rows that
+    are fully identical share an id; ``assemble``'s ``collect_set`` keeps
+    their output correct (one span list, one output row per input row)."""
+    pages = df.withColumn("_page_id", F.xxhash64("url", "html"))
     cands = detect_candidates(pages, id_col="_page_id")
     classified = classify_candidates(cands)
     survivors = classified.filter(F.col("cls_label") == 0)  # K5, visible

@@ -82,3 +82,32 @@ def test_staged_handles_duplicate_urls_like_fused(spark):
     )
     assert len(staged) == 4
     assert staged == fused  # byte-identical per row, dups NOT merged
+
+
+def test_staged_deterministic_id_survives_shuffled_input(spark):
+    # regression (round-2 verdict #4): the page id used to be
+    # monotonically_increasing_id(), evaluated independently by the detect
+    # chain and assemble's base side — a shuffled/recomputed input could
+    # assign different ids to the same row and mis-join spans to pages. The
+    # deterministic xxhash64(url, html) id must survive an input whose
+    # intra-partition row order is not stable.
+    h1 = b"<html><body><p>This is a plain sentence with several ordinary words inside it today.</p></body></html>"
+    h2 = b"<html><body><p>A different page body carries another set of common words for testing purposes.</p></body></html>"
+    rows = (
+        [("https://dup.example/x", h1)] * 2  # fully identical dup rows
+        + [("https://dup.example/x", h2)]    # same url, different html
+        + [(f"https://p{i}.example/", h1 if i % 2 else h2) for i in range(20)]
+    )
+    docs = (
+        spark.createDataFrame(rows, "url string, html binary")
+        .repartition(7)  # shuffle: destroys any stable row order
+    )
+    fused = sorted(
+        (r.url, r.n_blocks, r.extracted_text) for r in extract(docs).collect()
+    )
+    staged = sorted(
+        (r.url, r.n_blocks, r.extracted_text)
+        for r in extract_staged(docs).collect()
+    )
+    assert len(staged) == len(rows)
+    assert staged == fused
