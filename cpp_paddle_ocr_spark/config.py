@@ -50,6 +50,15 @@ MIN_SPAN_CHARS = 5
 #: as the same parity knob).
 DET_SCORE_MODE = "fast"
 
+#: D6 dilation parity knob: the reference dilates the thresholded bitmap
+#: with a 2x2 kernel when ``use_dilation_`` is set (``src/ocr_det.cpp:
+#: 155-159``) but the live service config leaves it OFF
+#: (``src/ocr_worker.cpp:33``) — same default here. In 1-D the 2x2 dilate
+#: becomes a one-token dilation of the bitmap (a token lights up if its
+#: successor is lit), which closes single-token gaps between adjacent runs
+#: inside a block.
+DET_USE_DILATION = False
+
 #: NMS IoU threshold (reference default 0.5,
 #: include/paddle_ocr/postprocess_op.h:104,125). Promoted from lib to live
 #: per SURVEY.md §2.6 O3.

@@ -40,6 +40,7 @@ from ..config import (
     DET_BOX_THRESH,
     DET_DB_THRESH,
     DET_SCORE_MODE,
+    DET_USE_DILATION,
     MAX_CANDIDATES,
     MIN_SPAN_CHARS,
     MIN_SPAN_CHARS_PRE,
@@ -263,13 +264,23 @@ def _page_arrays(doc: str, blocks: list[Block]) -> tuple[str, _PageMeta]:
 
 
 def detect_page(
-    doc: str, blocks: list[Block], score_mode: str = DET_SCORE_MODE
+    doc: str,
+    blocks: list[Block],
+    score_mode: str = DET_SCORE_MODE,
+    use_dilation: bool = DET_USE_DILATION,
 ) -> list[Span]:
     """Run the full det chain on one parsed page → candidate spans.
 
     ``score_mode``: "fast" = mean token prob (D9, the live config); "slow" =
     char-length-weighted mean (D10 ``PolygonScoreAcc`` analog — the exact
     integral over the span instead of the bbox-mask approximation).
+
+    ``use_dilation``: D6 parity knob (``src/ocr_det.cpp:155-159``; OFF in
+    the live config, ``src/ocr_worker.cpp:33``): dilate the thresholded
+    bitmap by one token before run extraction — near-adjacent runs separated
+    by a single below-threshold token merge. The probability map itself is
+    untouched (the reference dilates ``bit_map`` only, never ``pred_map``),
+    so scores still average the true per-token probs of the widened run.
     """
     page, meta = _page_arrays(doc, blocks)
     cp = codepoints(page)
@@ -339,6 +350,10 @@ def detect_page(
     # --- bitmap → runs (D5/D7); a block change also breaks a run -----------
     bitmap = probs >= DET_DB_THRESH
     tok_block = meta.blk_ids[tok_bidx]
+    if use_dilation:  # D6: 2x2-kernel dilate analog — one-token widen,
+        # confined to the block (run-breaking below still splits at block
+        # boundaries, so dilation never bridges blocks)
+        bitmap = bitmap | np.concatenate((bitmap[1:], [False]))
     new_run = bitmap & np.concatenate(
         ([True], (~bitmap[:-1]) | (tok_block[1:] != tok_block[:-1]))
     )

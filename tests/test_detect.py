@@ -190,3 +190,25 @@ def test_stopword_feature_matches_python_semantics():
         packed = np.where(has_k, (packed << 5) | np.clip(ck, 0, 31), packed)
     got = np.where(eligible & np.isin(packed, D._STOPWORDS_PACKED), 1.0, 0.0)
     assert got.tolist() == expected
+
+
+def test_dilation_knob_merges_near_adjacent_runs():
+    # D6 (src/ocr_det.cpp:155-159; OFF in the live config ocr_worker.cpp:33):
+    # a single below-threshold token between two qualifying runs merges the
+    # runs when the knob is on; with the knob off (default) output is
+    # unchanged — the golden suite pins that.
+    from cpp_paddle_ocr_spark.core.detect import detect_page
+    from cpp_paddle_ocr_spark.core.html_parse import parse_blocks
+
+    prose = "plain ordinary sentence with several common words appears here"
+    # "42" is a digit token scoring below DET_DB_THRESH between two runs
+    doc = f"<html><body><p>{prose} 42 {prose}</p></body></html>"
+    blocks = parse_blocks(doc)
+    off = detect_page(doc, blocks, use_dilation=False)
+    on = detect_page(doc, blocks, use_dilation=True)
+    assert len(on) <= len(off)  # merging can only reduce span count
+    assert max(s.end - s.start for s in on) > max(s.end - s.start for s in off)
+    # default equals knob-off (the live-config default)
+    assert [
+        (s.start, s.end, s.score) for s in detect_page(doc, blocks)
+    ] == [(s.start, s.end, s.score) for s in off]
