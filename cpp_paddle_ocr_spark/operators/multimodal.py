@@ -8,12 +8,15 @@ extraction cascade.
 (IHDR), GIF (logical screen descriptor), JPEG (SOF segment scan) and BMP
 (BITMAPINFOHEADER) — pure-Python byte parsing, no codec library — yielding
 true width/height/media_type; formats without a parser get NULL dims.
-Pixel-level work (resampling, frame extraction, CNN features) would need
-PIL/ffmpeg, absent in this container, so those kernels stay STUBBED:
-``real=False`` (default) runs a deterministic fake (hash-derived values)
-that keeps every Spark-side contract real — schema, partitioning, UDF
-signature, Arrow batch shape — and ``real=True`` raises
-``NotImplementedError`` where the codec call would go.
+Pixel-level work is REAL for uncompressed BMP (``decode_bmp_pixels`` — the
+pixel array is pure offset arithmetic, no codec needed), so
+``extract_media_features(real=True)`` produces genuine pixel-derived
+features end-to-end for that format. Formats that need a codec library
+(PNG inflate, JPEG DCT, video demux — PIL/ffmpeg, absent in this
+container) stay STUBBED: ``real=False`` (default) runs a deterministic
+fake (hash-derived values) that keeps every Spark-side contract real —
+schema, partitioning, UDF signature, Arrow batch shape — and ``real=True``
+raises ``NotImplementedError`` where the codec call would go.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ _MAGICS = {
     b"\xff\xd8\xff": "image/jpeg",
     b"\x89PNG": "image/png",
     b"GIF8": "image/gif",
+    b"BM": "image/bmp",
     b"RIFF": "audio/wav",
     b"<!DO": "text/html",
     b"<htm": "text/html",
@@ -98,11 +102,34 @@ def parse_image_dims(blob: bytes) -> tuple[int | None, int | None]:
             i += 2 + seg_len
         return None, None
     if blob.startswith(b"BM") and len(blob) >= 26:
-        return (
-            int.from_bytes(blob[18:22], "little", signed=True),
-            abs(int.from_bytes(blob[22:26], "little", signed=True)),
-        )
+        w = int.from_bytes(blob[18:22], "little", signed=True)
+        h = int.from_bytes(blob[22:26], "little", signed=True)
+        # height may legitimately be negative (top-down bitmap) → abs;
+        # a non-positive WIDTH is malformed per the spec → no dims at all
+        # (a negative width must not propagate as a negative dimension)
+        if w <= 0:
+            return None, None
+        return w, abs(h)
     return None, None
+
+
+def media_meta_row(url: str, blob: bytes | None, real: bool) -> tuple:
+    """Pure per-row metadata kernel — shared by the Spark operator and the
+    no-Spark golden generator (``scripts/gen_media_golden.py``), so the
+    committed oracle TSV is produced by the exact code under test."""
+    if blob is None:
+        return (url, 0, None, None, None, None)
+    blob = bytes(blob)
+    magic = blob[:4].hex() if blob else None
+    mt = next(
+        (v for k, v in _MAGICS.items() if blob.startswith(k)),
+        "application/octet-stream",
+    )
+    if real:
+        w, h = parse_image_dims(blob)
+    else:
+        w, h = _fake_decode(blob)
+    return (url, len(blob), magic, w, h, mt)
 
 
 def decode_media_meta(df: DataFrame, real: bool = False) -> DataFrame:
@@ -110,32 +137,79 @@ def decode_media_meta(df: DataFrame, real: bool = False) -> DataFrame:
 
     ``real=True`` parses true dims from PNG/GIF/JPEG/BMP headers (NULL dims
     for other formats); ``real=False`` keeps the deterministic fake used by
-    the driver fixtures.
+    the driver fixtures. Rows are iterated in Python — fine here: header
+    parsing is non-vectorizable byte logic bounded to a few dozen bytes per
+    row, so the Arrow batch transfer, not the loop, dominates.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for url, blob in zip(pdf["url"], pdf["media"]):
-                if blob is None:
-                    rows.append((url, 0, None, None, None, None))
-                    continue
-                blob = bytes(blob)
-                magic = blob[:4].hex() if blob else None
-                mt = next(
-                    (v for k, v in _MAGICS.items() if blob.startswith(k)),
-                    "application/octet-stream",
-                )
-                if real:
-                    w, h = parse_image_dims(blob)
-                else:
-                    w, h = _fake_decode(blob)
-                rows.append((url, len(blob), magic, w, h, mt))
+            rows = [
+                media_meta_row(url, blob, real)
+                for url, blob in zip(pdf["url"], pdf["media"])
+            ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields]
             )
 
     return df.select("url", F.col("media")).mapInPandas(fn, MEDIA_META_SCHEMA)
+
+
+def decode_bmp_pixels(blob: bytes) -> "np.ndarray | None":
+    """REAL pixel-array decode for uncompressed BMP — pure offset
+    arithmetic, no codec library (round-2 verdict #6).
+
+    Supports BITMAPINFOHEADER (or larger) DIB headers with BI_RGB
+    (compression=0) at 24 or 32 bits per pixel; rows are 4-byte aligned and
+    stored bottom-up (negative height = top-down). Returns an (h, w, 3)
+    uint8 RGB array, or None if the blob is not a decodable BMP.
+    """
+    if not blob.startswith(b"BM") or len(blob) < 54:
+        return None
+    pix_off = int.from_bytes(blob[10:14], "little")
+    dib_size = int.from_bytes(blob[14:18], "little")
+    if dib_size < 40:
+        return None
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h_raw = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if w <= 0 or h_raw == 0 or compression != 0 or bpp not in (24, 32):
+        return None
+    h = abs(h_raw)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows padded to 4-byte boundaries
+    need = pix_off + stride * h
+    if pix_off < 14 + dib_size or len(blob) < need:
+        return None
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if h_raw > 0:  # bottom-up storage → flip to top-down
+        rows = rows[::-1]
+    # stored BGR(A) → RGB
+    return np.ascontiguousarray(rows[:, :, 2::-1])
+
+
+def bmp_features(px: "np.ndarray") -> "np.ndarray":
+    """FEATURE_DIM real features from a decoded (h, w, 3) RGB array — the
+    deterministic stand-in for a CNN forward, computed from true pixels:
+    [mean R, mean G, mean B, mean gray, std gray, min gray, max gray,
+    aspect w/(w+h)], all scaled to [0, 1]."""
+    h, w = px.shape[:2]
+    f = px.astype(np.float64)
+    gray = f.mean(axis=2)
+    return np.array(
+        [
+            f[:, :, 0].mean() / 255.0,
+            f[:, :, 1].mean() / 255.0,
+            f[:, :, 2].mean() / 255.0,
+            gray.mean() / 255.0,
+            gray.std() / 255.0,
+            gray.min() / 255.0,
+            gray.max() / 255.0,
+            w / (w + h),
+        ]
+    )
 
 
 FEATURE_DIM = 8
@@ -149,21 +223,36 @@ _FEATURE_SCHEMA = T.StructType(
 
 
 def extract_media_features(df: DataFrame, real: bool = False) -> DataFrame:
-    """binary column → deterministic FEATURE_DIM-dim embedding (fake CNN).
+    """binary column → FEATURE_DIM-dim embedding.
 
-    Batch shape is real: one NumPy matrix per Arrow batch, vectorized hash
-    folding — the stand-in for a batched model forward (X2 discipline).
+    Batch shape is real either way: one NumPy matrix per Arrow batch — the
+    stand-in for a batched model forward (X2 discipline).
+
+    ``real=True`` decodes TRUE pixels for uncompressed BMP blobs
+    (``decode_bmp_pixels`` — pure offset arithmetic, no codec) and derives
+    the features from them; formats that need a codec library (PNG inflate,
+    JPEG DCT, video demux) raise ``NotImplementedError`` — the stub now
+    covers only genuinely codec-requiring formats. ``real=False`` keeps the
+    deterministic byte-hash fake for every format.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if real:
-            raise NotImplementedError("real feature extraction needs a model runtime")
         for pdf in batches:
             feats = np.zeros((len(pdf), FEATURE_DIM), dtype=np.float64)
             for i, blob in enumerate(pdf["media"]):
                 if not blob:
                     continue
-                b = np.frombuffer(bytes(blob)[:4096], dtype=np.uint8)
+                blob = bytes(blob)
+                if real:
+                    px = decode_bmp_pixels(blob)
+                    if px is None:
+                        raise NotImplementedError(
+                            "real feature extraction beyond uncompressed BMP "
+                            "needs a codec library (PIL/ffmpeg), absent here"
+                        )
+                    feats[i] = bmp_features(px)
+                    continue
+                b = np.frombuffer(blob[:4096], dtype=np.uint8)
                 pad = (-b.size) % FEATURE_DIM
                 m = np.pad(b, (0, pad)).reshape(-1, FEATURE_DIM).astype(np.float64)
                 feats[i] = m.mean(axis=0) / 255.0

@@ -16,6 +16,14 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
+#: Opaque-binary media table (multimodal plumbing).
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("media", T.BinaryType(), True),
+    ]
+)
+
 #: WordResult analog (include/paddle_ocr/ocr_worker.h:32-36).
 SPAN_SCHEMA = T.StructType(
     [

