@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cpp_paddle_ocr_spark.operators import (
     dedup,
+    layout,
     relational,
     similarity,
     text_analysis,
@@ -24,7 +25,10 @@ from cpp_paddle_ocr_spark.operators import (
 from cpp_paddle_ocr_spark.operators.extract import extract
 from cpp_paddle_ocr_spark.operators.multimodal import decode_media_meta
 from cpp_paddle_ocr_spark.operators.staged import extract_staged
-from cpp_paddle_ocr_spark.sources.documents import generate_documents
+from cpp_paddle_ocr_spark.sources.documents import (
+    generate_documents,
+    generate_media,
+)
 
 _N_EXTRACT = 240  # fixture pages for the extraction-pipeline checks
 
@@ -54,9 +58,11 @@ def _q_extract_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = generate_documents(spark, 60, oversize_max=2_000_000)
-    media = docs.select("url", F.col("html").alias("media"))
-    return decode_media_meta(media)
+    """REAL header decode over the deterministic media fixture table; fully
+    oracled against the committed golden TSV (scripts/gen_media_golden.py) —
+    closing round-2's last ``no_oracle`` entry."""
+    media = generate_media(spark, 60)
+    return decode_media_meta(media, real=True)
 
 
 _GOLDEN_TSV = str(
@@ -90,6 +96,21 @@ FROM read_csv('{_GOLDEN_TSV}', delim='\t', header=false,
                         'success': 'INTEGER', 'n_blocks': 'INTEGER'}})
 """
 
+_MEDIA_GOLDEN_TSV = str(
+    __import__("pathlib").Path(__file__).resolve().parent
+    / "tests"
+    / "golden"
+    / "MEDIA_META.tsv"
+)
+
+_MEDIA_META_SQL = f"""
+SELECT url, n_bytes, magic, width, height, media_type
+FROM read_csv('{_MEDIA_GOLDEN_TSV}', delim='\t', header=false,
+              columns={{'url': 'VARCHAR', 'n_bytes': 'BIGINT',
+                        'magic': 'VARCHAR', 'width': 'INTEGER',
+                        'height': 'INTEGER', 'media_type': 'VARCHAR'}})
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -97,10 +118,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(text_analysis.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
-    # extraction cascade + multimodal plumbing: non-SQL-expressible
-    # (custom mapInPandas pipelines) → rows-only checks
+    q.update(layout.QUERIES)
+    # extraction cascade: non-SQL-expressible (custom mapInPandas
+    # pipelines) → rows-only checks, redundantly value-covered by
+    # extract_golden_parity + the fused-vs-staged equivalence test
     q["extract_pages"] = _q_extract_pages
     q["extract_pages_staged"] = _q_extract_staged
+    # full-oracle: real header decode vs the committed media golden TSV
     q["multimodal_meta"] = _q_multimodal_meta
     # the cascade's full-oracle row: checked against the COMMITTED golden TSV
     q["extract_golden_parity"] = _q_extract_golden_parity
@@ -113,5 +137,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(text_analysis.ORACLES)
     o.update(dedup.ORACLES)
     o.update(similarity.ORACLES)
+    o.update(layout.ORACLES)
     o["extract_golden_parity"] = _EXTRACT_GOLDEN_SQL
+    o["multimodal_meta"] = _MEDIA_META_SQL
     return o

@@ -29,6 +29,7 @@ sys.path.insert(0, str(ROOT))
 
 from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     dedup,
+    layout,
     relational,
     similarity,
     text_analysis,
@@ -104,6 +105,24 @@ def main() -> None:
     for name, fn in others:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # layout/table stage (T1-T3) over its own fixture table, scaled with sf
+    from cpp_paddle_ocr_spark.sources.documents import generate_layout_docs
+
+    n_layout = max(96, n_docs // 4)
+    lpath = ROOT / ".benchdata" / f"layout_n{n_layout}"
+    if not (lpath / "_SUCCESS").exists():
+        generate_layout_docs(spark, n_layout).write.mode("overwrite").parquet(
+            str(lpath)
+        )
+    ldocs = spark.read.parquet(str(lpath))
+    for name, op in [
+        ("layout_regions", layout.detect_regions),
+        ("layout_tables", layout.extract_tables),
+    ]:
+        t0 = time.perf_counter()
+        op(ldocs).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
