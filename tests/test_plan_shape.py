@@ -57,3 +57,28 @@ def test_extract_wholestage_codegen_on_guards(spark, docs_path):
     plan = plan_of(extract(df))
     # "*(n)" prefixes mark WholeStageCodegen stages in the executed plan
     assert "*(1)" in plan
+
+
+def test_layout_ops_add_no_shuffle(spark, tmp_path_factory):
+    # T1-T3 are pure fan-out maps over the scan: zero exchanges, pruned read
+    from cpp_paddle_ocr_spark.operators.layout import detect_regions, extract_tables
+    from cpp_paddle_ocr_spark.sources.documents import generate_layout_docs
+
+    p = str(tmp_path_factory.mktemp("layout") / "l.parquet")
+    generate_layout_docs(spark, 32).write.parquet(p)
+    df = spark.read.parquet(p)
+    for op in (detect_regions, extract_tables):
+        plan = plan_of(op(df))
+        assert "Exchange" not in plan, f"{op.__name__} shuffles"
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "url" in read_schema and "html" in read_schema
+
+
+def test_media_meta_adds_no_shuffle(spark, tmp_path_factory):
+    from cpp_paddle_ocr_spark.operators.multimodal import decode_media_meta
+    from cpp_paddle_ocr_spark.sources.documents import generate_media
+
+    p = str(tmp_path_factory.mktemp("media") / "m.parquet")
+    generate_media(spark, 30).write.parquet(p)
+    plan = plan_of(decode_media_meta(spark.read.parquet(p), real=True))
+    assert "Exchange" not in plan
