@@ -64,6 +64,12 @@ DET_USE_DILATION = False
 #: per SURVEY.md §2.6 O3.
 NMS_IOU_THRESH = 0.5
 
+#: K6 softmax mode: "exact" (np.exp — the documented X7 deviation from the
+#: reference's Schraudolph fast_exp bit-trick) or "fast_exp" (bit-faithful
+#: parity knob, core/activations.py). The layout stage (T3 Picodet), the
+#: only live fast_exp consumer in the reference, always uses fast_exp.
+CLS_SOFTMAX_MODE = "exact"
+
 # --- cls stage (reference: src/ocr_worker.cpp:38-49) -------------------------
 
 #: Feature width, analog of cls input shape {3,48,192} (src/ocr_cls.cpp:35).

@@ -19,8 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import CLS_BATCH, CLS_FEAT_W
+from ..config import CLS_BATCH, CLS_FEAT_W, CLS_SOFTMAX_MODE
 from ..weights import CLS_B, CLS_CLASS_LOGITS, CLS_W
+from .activations import softmax_rows
 from .detect import codepoints, ws_mask
 
 _SEP_CP = np.array([ord(c) for c in "|·•›»/"], dtype=np.uint32)
@@ -56,14 +57,16 @@ def encode_char_classes(texts: list[str]) -> np.ndarray:
     return out
 
 
-def _softmax(x: np.ndarray) -> np.ndarray:
-    """Exact softmax (we deliberately skip the reference's ``fast_exp``
-    bit-trick, ``src/utility.cpp:350-357`` — documented deviation X7)."""
-    e = np.exp(x - x.max(axis=1, keepdims=True))
-    return e / e.sum(axis=1, keepdims=True)
+def _softmax(x: np.ndarray, mode: str = CLS_SOFTMAX_MODE) -> np.ndarray:
+    """Softmax; exact ``np.exp`` by default (documented deviation X7), with
+    the reference's ``fast_exp`` bit-trick (``src/utility.cpp:350-357``)
+    available as the ``mode="fast_exp"`` parity knob (``core/activations``)."""
+    return softmax_rows(x, mode)
 
 
-def classify_spans(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+def classify_spans(
+    texts: list[str], softmax_mode: str = CLS_SOFTMAX_MODE
+) -> tuple[np.ndarray, np.ndarray]:
     """Batched cls forward → (labels int64, scores float64).
 
     label 0 = content, 1 = boilerplate (the 180° class).
@@ -80,7 +83,7 @@ def classify_spans(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         logits = x @ CLS_W + CLS_B
         # structured per-class contribution via lookup (see weights.py)
         logits = logits + CLS_CLASS_LOGITS[batch].sum(axis=1)
-        probs = _softmax(logits)
+        probs = _softmax(logits, softmax_mode)
         labels[beg : beg + CLS_BATCH] = probs.argmax(axis=1)
         scores[beg : beg + CLS_BATCH] = probs.max(axis=1)
     return labels, scores

@@ -42,6 +42,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .activations import softmax_1d
+
 # ---------------------------------------------------------------------------
 # T1/T2 — table structure decode
 # ---------------------------------------------------------------------------
@@ -297,11 +299,13 @@ def _softmax_expectation(bin_idx: int) -> float:
     """disPred2Bbox's distance decode (:538-547): softmax over reg_max
     discrete logits, expectation Σ j·p[j]. The stand-in logits peak at the
     encoded bin with slope −2 — reproducing the decode's quantization
-    behavior (the expectation is pulled slightly toward the center bins)."""
+    behavior (the expectation is pulled slightly toward the center bins).
+    The softmax is the reference's fast_exp variant — Picodet is the live
+    consumer of ``activation_function_softmax`` (``src/utility.cpp:
+    359-376``), so this path is bit-faithful rather than exact-exp."""
     j = np.arange(REG_MAX, dtype=np.float64)
     logits = -2.0 * np.abs(j - bin_idx)
-    e = np.exp(logits - logits.max())
-    p = e / e.sum()
+    p = softmax_1d(logits, mode="fast_exp")
     return float((j * p).sum())
 
 

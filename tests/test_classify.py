@@ -65,3 +65,22 @@ def test_batching_does_not_change_results():
 def test_empty_input():
     labels, scores = classify_spans([])
     assert labels.size == 0 and scores.size == 0
+
+
+def test_fast_exp_softmax_parity_knob():
+    # K6/X7: the Schraudolph fast_exp knob approximates exact softmax within
+    # its documented ~3-4% and never changes the argmax on batch logits
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.core.activations import fast_exp, softmax_rows
+    from cpp_paddle_ocr_spark.core.classify import classify_spans
+
+    x = np.linspace(-30.0, 0.0, 301)
+    rel = np.abs(fast_exp(x) - np.exp(x)) / np.exp(x)
+    assert rel.max() < 0.05  # Schraudolph worst-case ~4.4%
+    texts = ["Plain prose sentence with ordinary words", "HOME | NEWS | SPORTS",
+             "Another normal paragraph of text here", "SIGN UP TODAY | FREE TRIAL"]
+    l_exact, s_exact = classify_spans(texts, softmax_mode="exact")
+    l_fast, s_fast = classify_spans(texts, softmax_mode="fast_exp")
+    assert (l_exact == l_fast).all()
+    assert np.abs(s_exact - s_fast).max() < 0.02
