@@ -234,3 +234,117 @@ ORACLES = {
     "sim_cosine_topk": COSINE_TOPK_SQL,
     "sim_lsh_ann": LSH_ANN_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — the brief's named alternative to the LSH bucket path: a coarse
+# quantizer partitions vectors into N_CENTROIDS inverted lists; a query
+# probes its NPROBE nearest lists and exact-ranks only those candidates.
+# Centroids are CLOSED-FORM deterministic (component (j,i) =
+# ((i*31 + j*57) mod 17 - 8) / 8), so the assignment is reproducible in any
+# engine with no trained artifact — the weights-as-code discipline of
+# weights.py applied to the quantizer. At 10^12 rows the scale shape is:
+# list assignment is a map over the scan, the probe join broadcasts NPROBE
+# list ids, and exact scoring touches ~NPROBE/N_CENTROIDS of the table.
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def _centroid_dot(emb: str, j: int) -> str:
+    """dot(emb, centroid_j) with the closed-form centroid component."""
+    return (
+        f"aggregate(sequence(0, {DIM - 1}), 0.0D, (acc, i) -> acc + "
+        f"element_at({emb}, i + 1) * "
+        f"((CAST(pmod(i * 31 + {j} * 57, 17) AS DOUBLE) - 8.0D) / 8.0D))"
+    )
+
+
+def ivf_topk(df: DataFrame, query_vec_id: int = 0, k: int = TOPK) -> DataFrame:
+    """IVF ANN: spherical assignment (argmax centroid dot), NPROBE-list
+    probe, exact cosine rank over the probed candidates."""
+    e = (
+        df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .withColumn(
+            "scores",
+            F.array(*[F.expr(_centroid_dot("emb", j)) for j in range(N_CENTROIDS)]),
+        )
+        .withColumn(
+            "list_id",
+            (F.expr("array_position(scores, array_max(scores))") - 1).cast("int"),
+        )
+    )
+    q = e.filter(F.col("vec_id") == query_vec_id)
+    probes = (
+        q.select(F.posexplode("scores").alias("list_id", "s"))
+        .orderBy(F.col("s").desc(), F.col("list_id").asc())
+        .limit(NPROBE)
+        .select(F.col("list_id").cast("int").alias("list_id"))
+    )
+    qemb = q.select(F.col("emb").alias("qemb"))
+    cands = (
+        e.join(F.broadcast(probes), "list_id")  # the inverted-list probe
+        .crossJoin(F.broadcast(qemb))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "list_id",
+            F.round(
+                F.expr(_dot_expr("emb", "qemb"))
+                / (F.expr(_norm_expr("emb")) * F.expr(_norm_expr("qemb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return cands.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+_CENTROID_DOT_SQL = (
+    "list_sum(list_transform(generate_series(0, {dmax}), i -> "
+    "emb[i + 1] * ((CAST((i * 31 + {j} * 57) % 17 AS DOUBLE) - 8.0) / 8.0)))"
+)
+
+IVF_ANN_SQL = f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+e1 AS (
+  SELECT vec_id, emb,
+         list_transform(generate_series(0, {N_CENTROIDS - 1}), j ->
+           list_sum(list_transform(generate_series(0, {DIM - 1}), i ->
+             emb[i + 1] * ((CAST((i * 31 + j * 57) % 17 AS DOUBLE) - 8.0) / 8.0)
+           ))) AS scores
+  FROM e0
+),
+e AS (
+  SELECT vec_id, emb, scores,
+         CAST(list_indexof(scores, list_max(scores)) - 1 AS INT) AS list_id
+  FROM e1
+),
+probes AS (
+  SELECT CAST(j - 1 AS INT) AS list_id
+  FROM (SELECT unnest(scores) AS s,
+               generate_subscripts(scores, 1) AS j
+        FROM e WHERE vec_id = 0)
+  ORDER BY s DESC, j ASC
+  LIMIT {NPROBE}
+),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
+SELECT e.vec_id, e.list_id,
+       round(list_dot_product(e.emb, q.qemb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS cosine
+FROM e JOIN probes USING (list_id), q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES["sim_ivf_ann"] = q_ivf_ann
+ORACLES["sim_ivf_ann"] = IVF_ANN_SQL

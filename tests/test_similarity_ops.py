@@ -53,3 +53,28 @@ def test_ann_topk_contains_bucket_hits(spark, embeddings):
 def test_ann_broadcast_no_full_shuffle(spark, embeddings):
     plan = lsh_bucketed_ann(embeddings)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_ivf_probe_covers_query_list_and_ranks_exact(spark, embeddings):
+    from cpp_paddle_ocr_spark.operators.similarity import NPROBE, ivf_topk
+
+    exact = [r.vec_id for r in cosine_topk(embeddings).collect()]
+    ivf = ivf_topk(embeddings).collect()
+    assert len(ivf) == 10
+    # candidates come from at most NPROBE inverted lists
+    assert len({r.list_id for r in ivf}) <= NPROBE
+    # exact-cosine ranking on the probed subset: relative order of any hits
+    # shared with the exact top-10 is preserved
+    ids = [r.vec_id for r in ivf]
+    common = [v for v in exact if v in set(ids)]
+    assert [v for v in ids if v in set(exact)] == common
+    # deterministic across runs
+    again = [(r.vec_id, r.list_id, r.cosine) for r in ivf_topk(embeddings).collect()]
+    assert again == [(r.vec_id, r.list_id, r.cosine) for r in ivf]
+
+
+def test_ivf_probe_is_broadcast(spark, embeddings):
+    from cpp_paddle_ocr_spark.operators.similarity import ivf_topk
+
+    plan = ivf_topk(embeddings)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
