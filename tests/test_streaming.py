@@ -80,3 +80,42 @@ def test_stream_sink_epoch_replay_is_idempotent(spark, tmp_path):
     df = spark.read.parquet(out_dir)
     assert df.count() == 30  # a blind append sink would give 60
     assert df.select("url").distinct().count() == 30
+
+
+def test_stateful_dedup_stream_across_batches(spark, tmp_path):
+    # applyInPandasWithState: a url re-crawled in a LATER micro-batch must
+    # be recognized as a duplicate (state survives batches via checkpoint)
+    from pyspark.sql import functions as F
+
+    from cpp_paddle_ocr_spark.schemas import DOCUMENTS_SCHEMA
+    from cpp_paddle_ocr_spark.streaming.stateful import dedup_stream
+
+    in_dir = str(tmp_path / "sin")
+    ckpt = str(tmp_path / "sckpt")
+    base = generate_documents(spark, 20, oversize_max=2_000_000)
+    # file 1: pages 0-19; file 2: pages 10-19 again (cross-batch dups) plus
+    # an in-batch duplicate of page 0
+    base.coalesce(1).write.parquet(in_dir)
+    dup = base.filter(F.expr("url rlike '/1[0-9]$'"))
+    dup.unionByName(base.limit(1)).unionByName(base.limit(1)).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+
+    s = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(in_dir)
+    )
+    q = (
+        dedup_stream(s)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select url from dedup_stream_t").collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == 20  # one row per distinct url, dups absorbed
+    assert len(set(urls)) == 20
