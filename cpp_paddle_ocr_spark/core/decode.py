@@ -46,8 +46,11 @@ from .detect import codepoints, ws_mask
 # codepoints that emit a blank (dropped): C0/C1 controls, soft hyphen,
 # zero-width & directional marks, BOM. \t \n \v \f \r (9-13) stay whitespace;
 # zero-width chars (incl. U+200B) are drops, taking precedence over ws.
-# Lookup table: one gather per span instead of seven vector ops.
-_DROP_TABLE = np.zeros(0xFF00, dtype=bool)
+# Lookup table covering the FULL codepoint range (1.1 MB of bools): a plain
+# gather with no clamping `where` — the windowed 0xFF00 table needed a
+# per-char `np.where(cp < 0xFF00, cp, 0x20)` that allocated two extra
+# multi-MB temporaries per batch and measured ~2x slower.
+_DROP_TABLE = np.zeros(0x110000, dtype=bool)
 _DROP_TABLE[:32] = True
 _DROP_TABLE[9:14] = False
 _DROP_TABLE[0x7F] = True
@@ -57,8 +60,7 @@ _DROP_TABLE[0xFEFF] = True
 
 
 def _drop_mask(cp: np.ndarray) -> np.ndarray:
-    # codepoints above the table (emoji, SMP) are never drops → index 0x20
-    return _DROP_TABLE[np.where(cp < 0xFF00, cp, 0x20)]
+    return _DROP_TABLE[cp]
 
 
 def encode_timesteps(text: str) -> np.ndarray:
@@ -139,9 +141,17 @@ def encode_timesteps_many(texts: list[str]) -> list[np.ndarray]:
     # input takes a buffered-cast loop measuring 3-30x slower on multi-MB
     # arrays; int32 suffices (batch text is bounded by the 64 MB extract
     # byte budget) and halves the rec stage's dominant per-char traffic.
-    e_incl = np.add.accumulate(emit_blank, dtype=np.int32)
+    # The int8 VIEW of the bool mask (free — same bytes) shaves another
+    # ~1.5x off the accumulate: the bool→int32 ufunc loop is slower than
+    # the int8→int32 one (measured 8.8 → 5.8 ms on 2M chars).
+    e_incl = np.add.accumulate(emit_blank.view(np.int8), dtype=np.int32)
     e_excl = e_incl - emit_blank
     bounds = np.concatenate(([0], np.cumsum(lens)))
+    # NOTE: a fully-vectorized whole-batch construction (one flat buffer +
+    # global scatter) was tried and measured ~70x SLOWER on the few-big-
+    # spans regime the 2 MB oversized pages produce (giant int64 index
+    # temporaries vs this loop's cache-resident per-span arrays), while
+    # winning only ~4x on the 40k-tiny-spans regime. The loop stays.
     out: list[np.ndarray] = []
     for k in range(len(texts)):
         a, b = int(bounds[k]), int(bounds[k + 1])
