@@ -63,10 +63,18 @@ def main(argv: list[str]) -> None:
         spark.stop()
         return
 
+    source_table = None
     if args.generate:
         docs = generate_documents(spark, args.generate)
     elif args.input:
         docs = read_documents(spark, args.input)
+        from cpp_paddle_ocr_spark.iceberg import _is_table_ident
+
+        if _is_table_ident(args.input):
+            # Iceberg source: lineage uses per-commit-group pruned scans on
+            # the table's own bucket transform instead of persisting the
+            # full extraction output (lineage.run_extract_job docstring)
+            source_table = args.input
     else:
         p.error("one of --input / --generate is required")
 
@@ -80,6 +88,7 @@ def main(argv: list[str]) -> None:
         n_groups=args.groups,
         num_partitions=args.partitions,
         metrics=metrics,
+        source_table=source_table,
     )
     print(
         f"run_id={run_id} "
