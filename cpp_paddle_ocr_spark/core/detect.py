@@ -351,9 +351,12 @@ def detect_page(
     bitmap = probs >= DET_DB_THRESH
     tok_block = meta.blk_ids[tok_bidx]
     if use_dilation:  # D6: 2x2-kernel dilate analog — one-token widen,
-        # confined to the block (run-breaking below still splits at block
-        # boundaries, so dilation never bridges blocks)
-        bitmap = bitmap | np.concatenate((bitmap[1:], [False]))
+        # masked to same-block neighbors: without the mask, block A's last
+        # below-threshold token would light up whenever block B's first
+        # token is lit, splicing an unrelated token into A's run (caught by
+        # round 3's review pass)
+        ext = bitmap[1:] & (tok_block[1:] == tok_block[:-1])
+        bitmap = bitmap | np.concatenate((ext, [False]))
     new_run = bitmap & np.concatenate(
         ([True], (~bitmap[:-1]) | (tok_block[1:] != tok_block[:-1]))
     )

@@ -10,11 +10,14 @@ Pure core, no Spark imports. The 2-D image operators map onto the graft's
   faithfully: a begin token is skipped, decoding stops at the end token
   (``:415-420``), per-step max-scores are averaged into the table score
   (``:422-424, :444``), a cell box is emitted only for the cell-open labels
-  ``{"<td>", "<td", "<td></td>"}`` (``:427-441``), normalized box coords are
-  rescaled by the region size with C-style ``int()`` truncation
-  (``:433-437``), and a NaN score or zero cells yields score −1
-  (``:445-447``). ``merge_no_span_structure`` (``init``, ``:364-380``)
-  replaces the bare ``<td>`` label with the merged ``<td></td>`` label.
+  ``{"<td>", "<td", "<td></td>"}`` (``:427-441``), and a NaN score or zero
+  cells yields score −1 (``:445-447``). ``merge_no_span_structure``
+  (``init``, ``:364-380``) replaces the bare ``<td>`` label with the merged
+  ``<td></td>`` label. Documented deviation: the reference rescales the
+  model's NORMALIZED loc_preds by the region size with C-style ``int()``
+  truncation (``:433-437``); our cell offsets are exact tag positions, so
+  they are emitted directly rather than pushed through a lossy
+  normalize/denormalize roundtrip.
 * T2 ``TableResizeImg``/``TablePadImg`` (``src/preprocess_op.cpp:139-159``,
   max_len 488) → ``table_resize_pad``: ratio-preserving downsample of the
   region's char-class codes to ``TABLE_MAX_LEN``, zero-padded right.
@@ -80,7 +83,7 @@ TABLE_LABELS = [
 _CELL_OPEN = {"<td>", "<td", "<td></td>"}
 
 _TABLE_TOKEN_RE = re.compile(
-    r"</?(?:thead|tbody|tr|td)\b[^>]*>|</table\s*>", re.IGNORECASE
+    r"</?(?:thead|tbody|tr|td)\b[^>]*>|</?table\b[^>]*>", re.IGNORECASE
 )
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
@@ -104,7 +107,13 @@ def table_resize_pad(codes: np.ndarray, max_len: int = TABLE_MAX_LEN) -> np.ndar
     ``TablePadImg`` zero-pads to the square canvas
     (``src/preprocess_op.cpp:139-159``); in 1-D: longer inputs are
     stride-sampled down to ``max_len``, shorter ones keep their values and
-    the tail is zero (the pad)."""
+    the tail is zero (the pad).
+
+    Standalone preprocessing facility (unit-tested, not consumed by
+    ``decode_table``): the reference feeds the resized canvas to the
+    structure MODEL; our decode reads exact tag offsets instead, so the
+    canvas has no downstream consumer — kept as the T2 operator surface,
+    not wired into a fake model input."""
     out = np.zeros(max_len, dtype=codes.dtype)
     n = codes.size
     if n == 0:
@@ -164,10 +173,19 @@ def _tokenize_table(doc: str, lo: int, hi: int) -> list[tuple[str, int, int]]:
     ``<td``."""
     steps: list[tuple[str, int, int]] = []
     open_kinds: list[str] = []  # cell-open stack (handles nested tables)
+    depth = 0  # nested-table depth: only the OUTER close is the end token
     for m in _TABLE_TOKEN_RE.finditer(doc, lo, hi):
         tag = m.group(0)
         tl = tag.lower()
+        if tl.startswith("<table"):
+            depth += 1  # the region's own open is depth 1 (the beg token)
+            continue
         if tl.startswith("</table"):
+            depth -= 1
+            if depth > 0:
+                continue  # a NESTED table's close is not the end token —
+                # without this, everything after an inner table (trailing
+                # outer cells, closing structure) would be silently dropped
             steps.append((TABLE_END, m.start(), m.end()))
             break
         if tl.startswith("<td"):
@@ -192,7 +210,6 @@ def decode_table(doc: str, lo: int, hi: int, table_id: int = 0) -> TableStructur
     # the region's own "<table" open is the begin token: the tokenizer never
     # emits it, equivalent to the `html_tag == beg → continue` at :418-420
     inner = _tokenize_table(doc, lo, hi)
-    region_len = max(1, hi - lo)
 
     token_ids = np.array(
         [TABLE_LABELS.index(lbl) if lbl in TABLE_LABELS else 0 for lbl, _, _ in inner],
@@ -214,15 +231,17 @@ def decode_table(doc: str, lo: int, hi: int, table_id: int = 0) -> TableStructur
         tags.append(label)
         if label in _CELL_OPEN:
             # box: cell content from after the open tag to the matching
-            # close (or the next structural tag when unclosed). Normalized
-            # coords rescaled by the region size with int() truncation —
-            # the loc_preds * width_list discipline of :427-441.
+            # close (or the next structural tag when unclosed). The
+            # reference rescales the model's NORMALIZED loc_preds by the
+            # region size with int() truncation (:427-441); our offsets are
+            # already exact, so they are emitted directly — replaying the
+            # normalize/denormalize roundtrip here only injects float
+            # truncation error (it silently clipped the last char of some
+            # cells before round 3's review pass).
             nxt = _TABLE_TOKEN_RE.search(doc, t_end, hi)
             c_end = nxt.start() if nxt else hi
-            n_start = (t_end - lo) / region_len
-            n_end = (c_end - lo) / region_len
-            a_start = lo + int(n_start * region_len)
-            a_end = lo + int(n_end * region_len)
+            a_start = t_end
+            a_end = c_end
             text = _WS_RE.sub(" ", _TAG_RE.sub(" ", doc[a_start:a_end])).strip()
             cells.append(TableCell(len(cells), a_start, a_end, text))
     score = score / count if count else float("nan")

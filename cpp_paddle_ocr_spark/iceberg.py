@@ -73,14 +73,16 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def _is_table_ident(target: str) -> bool:
-    """Iceberg table identifiers are DOTTED names (``catalog.db.table``),
-    not paths. Requiring the dot (not merely the absence of a slash) keeps a
-    plain relative output directory like ``"results"`` on the parquet path
-    instead of silently routing it to ``spark.read.table``/``saveAsTable``
-    (round-2 ADVICE)."""
-    return (
-        "." in target and "/" not in target and "\\" not in target
-    )
+    """Iceberg table identifiers are catalog-qualified dotted names
+    (``crawl.db.table``), never paths. A name routes to the table path only
+    when it is slash-free AND either starts with this engine's catalog or
+    has ≥2 dots (some.catalog.db.table): a plain relative directory like
+    ``"results"`` — or a dotted one like ``"results.v2"`` — stays on the
+    parquet path instead of being silently routed to
+    ``spark.read.table``/``saveAsTable`` (round-2 ADVICE + round-3 review)."""
+    if "/" in target or "\\" in target:
+        return False
+    return target.startswith(f"{CATALOG}.") or target.count(".") >= 2
 
 
 def write_documents(

@@ -70,7 +70,7 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def run_extract_job(
     spark: SparkSession,
-    docs: DataFrame,
+    docs: DataFrame | None,
     out_dir: str,
     run_id: str | None = None,
     n_buckets: int = LINEAGE_BUCKETS,
@@ -85,8 +85,11 @@ def run_extract_job(
     Returns the ``run_id`` (pass it back in to resume after a failure).
 
     Scan strategy (round-2 verdict #7): when ``source_table`` names an
-    Iceberg table (and the runtime is on the classpath), each commit group
-    re-reads the SOURCE filtered to its buckets — the lineage bucket is then
+    Iceberg table (and the runtime is on the classpath), ``docs`` is NOT
+    consulted — pass the table's unmodified contents (or ``None``); any
+    filter/projection applied to ``docs`` would be silently discarded, so
+    pre-filtering must instead live in the table (snapshot/branch) itself.
+    Each commit group then re-reads the SOURCE filtered to its buckets — the lineage bucket is then
     Iceberg's own ``system.bucket(n, url)`` transform, the same transform
     the documents table is partitioned by (``iceberg.write_documents``), so
     the filter is a partition predicate and Iceberg prunes data files
@@ -99,13 +102,6 @@ def run_extract_job(
     """
     run_id = run_id or uuid.uuid4().hex[:12]
 
-    done = completed_buckets(spark, out_dir, run_id)
-    todo = [b for b in range(n_buckets) if b not in done]
-    if not todo:
-        return run_id
-
-    group_size = max(1, -(-len(todo) // n_groups))
-
     from .iceberg import CATALOG, _is_table_ident, iceberg_available
 
     pruned = (
@@ -113,6 +109,37 @@ def run_extract_job(
         and _is_table_ident(source_table)
         and iceberg_available(spark)
     )
+    transform = "iceberg" if pruned else "xxhash64"
+
+    # committed buckets + the transform they were committed under: a resume
+    # must NOT switch bucket transforms mid-run — the url→bucket mapping
+    # would change, marking buckets "done" whose membership no longer
+    # matches (pages skipped or doubled) and leaving stale rows behind
+    # partition overwrites.
+    try:
+        rows = (
+            read_lineage(spark, out_dir)
+            .filter(F.col("run_id") == run_id)
+            .select("bucket", "transform")
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        rows = []
+    done = {r.bucket for r in rows}
+    prior = {r.transform for r in rows if r.transform is not None}
+    if prior and prior != {transform}:
+        raise RuntimeError(
+            f"run {run_id} has lineage committed under bucket transform "
+            f"{sorted(prior)} but this invocation would use '{transform}' "
+            f"(source_table={source_table!r}); resume with the original "
+            "configuration or start a new run_id against a fresh out_dir"
+        )
+    todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
+        return run_id
+
+    group_size = max(1, -(-len(todo) // n_groups))
 
     out_all = None
     if pruned:
@@ -138,6 +165,10 @@ def run_extract_job(
         # non-prunable source would mean n_groups full scans of the input.)
         from pyspark.storagelevel import StorageLevel
 
+        if docs is None:
+            raise ValueError(
+                "docs is required unless source_table names an Iceberg table"
+            )
         docs_b = docs.withColumn("_bucket", _bucket_col(n_buckets))
         if len(todo) < n_buckets:  # resume: only uncommitted buckets
             docs_b = docs_b.filter(F.col("_bucket").isin(todo))
@@ -160,6 +191,15 @@ def run_extract_job(
             chunk = todo[g : g + group_size]
             t0 = time.perf_counter()
             part = group_output(chunk)
+            if pruned:
+                # the pruned group plan re-extracts from the source; it is
+                # consumed below by the write AND the stats aggregation
+                # (whose plan is referenced twice by the lineage anti-join)
+                # — persist so the mapInPandas extraction runs ONCE per
+                # group, not 2-3x
+                from pyspark.storagelevel import StorageLevel
+
+                part = part.persist(StorageLevel.MEMORY_AND_DISK)
             # Iceberg overwritePartitions when out_dir is a table identifier
             # (atomic metadata swap, one snapshot per commit group); dynamic
             # partition overwrite on the parquet path fallback
@@ -183,22 +223,29 @@ def run_extract_job(
                     F.col("n_blocks"),
                     F.lit(wall_ms).alias("wall_ms"),
                     F.current_timestamp().alias("committed_at"),
+                    F.lit(transform).alias("transform"),
                 )
             )
             # buckets with zero pages still need a lineage row to be "committed"
-            empty = spark.createDataFrame(
-                [
-                    (run_id, b, 0, 0, 0, wall_ms)
-                    for b in chunk
-                ],
-                "run_id string, bucket int, n_pages long, n_ok long, n_blocks long, wall_ms double",
-            ).withColumn("committed_at", F.current_timestamp())
+            empty = (
+                spark.createDataFrame(
+                    [
+                        (run_id, b, 0, 0, 0, wall_ms)
+                        for b in chunk
+                    ],
+                    "run_id string, bucket int, n_pages long, n_ok long, n_blocks long, wall_ms double",
+                )
+                .withColumn("committed_at", F.current_timestamp())
+                .withColumn("transform", F.lit(transform))
+            )
             lineage = stats.unionByName(empty.join(stats, "bucket", "left_anti"))
             t = _child_target(out_dir, "_lineage")
             if _is_table_ident(t):  # Iceberg: append creates-or-appends
                 lineage.write.mode("append").saveAsTable(t)
             else:
                 lineage.write.mode("append").parquet(t)
+            if pruned:
+                part.unpersist()
             if fail_after_group is not None and g // group_size >= fail_after_group:
                 raise SimulatedFailure(
                     f"injected failure after commit group {g // group_size}"

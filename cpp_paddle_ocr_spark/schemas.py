@@ -73,5 +73,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("n_blocks", T.LongType(), False),
         T.StructField("wall_ms", T.DoubleType(), False),
         T.StructField("committed_at", T.TimestampType(), False),
+        # bucket-assignment transform of the run ("xxhash64" fallback or
+        # "iceberg" system.bucket): a resume MUST reuse the transform its
+        # earlier groups committed under — mixing them would scramble the
+        # url→bucket mapping and leave stale rows behind overwrites
+        T.StructField("transform", T.StringType(), True),
     ]
 )

@@ -65,8 +65,12 @@ def test_table_ident_requires_dotted_name():
     assert not _is_table_ident("results")
     assert not _is_table_ident("out/dir")
     assert not _is_table_ident("/abs/path")
+    assert not _is_table_ident("results.v2")  # dotted dirname ≠ table ident
+    assert not _is_table_ident("out.parquet")
     assert _is_table_ident("crawl.db.extracted")
+    assert _is_table_ident("other.db.extracted")  # ≥2 dots: catalog-qualified
     assert _child_target("results", "_lineage") == "results/_lineage"
+    assert _child_target("results.v2", "_lineage") == "results.v2/_lineage"
     assert _child_target("crawl.db.out", "_lineage") == "crawl.db.out__lineage"
 
 

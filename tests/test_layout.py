@@ -170,3 +170,27 @@ def test_spark_regions_match_golden(spark, layout_docs):
         for r in detect_regions(layout_docs).collect()
     }
     assert got == _read_tsv("LAYOUT_REGIONS.tsv", 5)
+
+
+def test_nested_table_outer_decode_not_truncated():
+    # round-3 review: a nested table's </table> must not act as the outer
+    # decode's end token — trailing outer cells would be silently dropped
+    doc = (
+        "<table><tr><td><table><tr><td>inner</td></tr></table></td>"
+        "<td>IMPORTANT</td></tr></table>"
+    )
+    t = decode_table(doc, 0, len(doc))
+    texts = [c.text for c in t.cells]
+    assert "IMPORTANT" in texts
+    assert t.structure.endswith("</tr>")  # outer closing structure decoded
+
+
+def test_cell_offsets_are_exact_tag_positions():
+    # round-3 review: the normalize/denormalize roundtrip used to truncate
+    # the last char of some cells; offsets must slice the doc exactly
+    doc = "<table><tbody><tr><td>in</td><td>exact text</td></tr></tbody></table>"
+    t = decode_table(doc, 0, len(doc))
+    assert [c.text for c in t.cells] == ["in", "exact text"]
+    for c in t.cells:
+        inner = doc[c.start : c.end]
+        assert inner in ("in", "exact text")

@@ -119,3 +119,24 @@ def test_stateful_dedup_stream_across_batches(spark, tmp_path):
     urls = [r.url for r in rows]
     assert len(urls) == 20  # one row per distinct url, dups absorbed
     assert len(set(urls)) == 20
+
+
+def test_stateful_dedup_ttl_path_executes(spark, tmp_path):
+    # the TTL arm (ProcessingTimeTimeout + setTimeoutDuration) must execute;
+    # within one short run nothing expires, so output equals no-TTL dedup
+    from cpp_paddle_ocr_spark.schemas import DOCUMENTS_SCHEMA
+    from cpp_paddle_ocr_spark.streaming.stateful import dedup_stream
+
+    in_dir = str(tmp_path / "tin")
+    generate_documents(spark, 12, oversize_max=2_000_000).write.parquet(in_dir)
+    s = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(in_dir)
+    q = (
+        dedup_stream(s, ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("dedup_ttl_t")
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) c from dedup_ttl_t").collect()[0].c == 12
