@@ -112,6 +112,46 @@ FROM read_csv('{_MEDIA_GOLDEN_TSV}', delim='\t', header=false,
 """
 
 
+def _q_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 as a windowed aggregation (the streaming metrics operator run in
+    batch mode over the golden fixture set): tumbling 1-hour windows on
+    warc_ts over the REAL extraction output. Full oracle: warc_ts is the
+    deterministic ``EPOCH + 137s * i`` of fixtures.page, so DuckDB
+    reconstructs the identical windows from the committed golden TSV."""
+    from cpp_paddle_ocr_spark.streaming.metrics import (
+        extract_stream_with_ts,
+        windowed_quality,
+    )
+
+    docs = generate_documents(spark, _N_GOLDEN, oversize_max=2_000_000)
+    wq = windowed_quality(extract_stream_with_ts(docs))
+    return wq.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("n_pages"),
+        F.col("n_ok"),
+        F.col("n_spans"),
+    )
+
+
+_WINDOWED_QUALITY_SQL = f"""
+WITH g AS (
+  SELECT CAST(regexp_extract(url, '/page/(\\d+)$', 1) AS BIGINT) AS i,
+         success, n_blocks
+  FROM read_csv('{_GOLDEN_TSV}', delim='\t', header=false,
+                columns={{'url': 'VARCHAR', 'digest': 'VARCHAR',
+                          'success': 'INTEGER', 'n_blocks': 'INTEGER'}})
+)
+SELECT strftime(date_trunc('hour',
+                TIMESTAMP '2025-01-01 00:00:00' + i * INTERVAL 137 SECOND),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_pages,
+       CAST(sum(success) AS BIGINT) AS n_ok,
+       CAST(sum(n_blocks) AS BIGINT) AS n_spans
+FROM g
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
@@ -128,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_meta"] = _q_multimodal_meta
     # the cascade's full-oracle row: checked against the COMMITTED golden TSV
     q["extract_golden_parity"] = _q_extract_golden_parity
+    # P7 windowed metrics (streaming operator in batch mode), golden-oracled
+    q["status_windowed"] = _q_windowed_quality
     return q
 
 
@@ -140,4 +182,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(layout.ORACLES)
     o["extract_golden_parity"] = _EXTRACT_GOLDEN_SQL
     o["multimodal_meta"] = _MEDIA_META_SQL
+    o["status_windowed"] = _WINDOWED_QUALITY_SQL
     return o
