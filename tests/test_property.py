@@ -56,3 +56,32 @@ def test_decode_deterministic_and_order_preserving(texts):
     # processing reversed input and reversing back gives identical results
     c = list(reversed(recognize_spans(list(reversed(texts)))))
     assert c == a
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=400))
+def test_layout_kernels_never_raise_on_arbitrary_text(doc):
+    # P9 discipline for the T1-T3 stage: malformed/hostile html must never
+    # crash a task; outputs stay within document bounds
+    from cpp_paddle_ocr_spark.core.layout import (
+        detect_regions_page,
+        extract_tables_page,
+    )
+
+    for t in extract_tables_page(doc):
+        assert 0 <= t.start <= t.end <= len(doc)
+        for c in t.cells:
+            assert 0 <= c.start <= c.end <= len(doc)
+        assert t.score == -1.0 or 0.0 < t.score < 1.0
+    for r in detect_regions_page(doc):
+        assert 0 <= r.start <= r.end <= len(doc)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="<>tdrableh /ob", max_size=200))
+def test_layout_tag_soup_never_raises(doc):
+    # adversarial tag soup: fragments of table markup in random order
+    from cpp_paddle_ocr_spark.core.layout import extract_tables_page
+
+    for t in extract_tables_page(doc):
+        assert isinstance(t.structure, str)
