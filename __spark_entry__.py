@@ -43,18 +43,26 @@ def entry(spark: SparkSession) -> DataFrame:
     ).orderBy("url")
 
 
+def _digest_shape(out: DataFrame) -> DataFrame:
+    """(url, digest, success, n_blocks) — the committed-golden hash shape
+    (the fixture rows here are a strict subset of the 2000-row golden set,
+    so CHECKSUMS.tsv is the full value oracle for BOTH extract forms)."""
+    return out.select(
+        "url",
+        F.sha2(F.col("extracted_text"), 256).alias("digest"),
+        F.col("success").cast("int").alias("success"),
+        F.col("n_blocks").alias("n_blocks"),
+    )
+
+
 def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = generate_documents(spark, _N_EXTRACT, oversize_max=2_000_000)
-    return extract(docs).select(
-        "url", "success", "error", "n_blocks", "extracted_text"
-    )
+    return _digest_shape(extract(docs))
 
 
 def _q_extract_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = generate_documents(spark, _N_EXTRACT, oversize_max=2_000_000)
-    return extract_staged(docs).select(
-        "url", "success", "error", "n_blocks", "extracted_text"
-    )
+    return _digest_shape(extract_staged(docs))
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,9 +167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
     q.update(layout.QUERIES)
-    # extraction cascade: non-SQL-expressible (custom mapInPandas
-    # pipelines) → rows-only checks, redundantly value-covered by
-    # extract_golden_parity + the fused-vs-staged equivalence test
+    # extraction cascade (fused + staged): full-oracle via the committed
+    # golden TSV — the fixture rows are a prefix of the golden set
     q["extract_pages"] = _q_extract_pages
     q["extract_pages_staged"] = _q_extract_staged
     # full-oracle: real header decode vs the committed media golden TSV
@@ -183,4 +190,13 @@ def oracle_sql() -> dict[str, str]:
     o["extract_golden_parity"] = _EXTRACT_GOLDEN_SQL
     o["multimodal_meta"] = _MEDIA_META_SQL
     o["status_windowed"] = _WINDOWED_QUALITY_SQL
+    prefix = f"""
+SELECT url, digest, success, n_blocks
+FROM read_csv('{_GOLDEN_TSV}', delim='\t', header=false,
+              columns={{'url': 'VARCHAR', 'digest': 'VARCHAR',
+                        'success': 'INTEGER', 'n_blocks': 'INTEGER'}})
+WHERE CAST(regexp_extract(url, '/page/(\\d+)$', 1) AS BIGINT) < {_N_EXTRACT}
+"""
+    o["extract_pages"] = prefix
+    o["extract_pages_staged"] = prefix
     return o
