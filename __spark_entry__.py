@@ -126,18 +126,31 @@ def _q_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc_ts over the REAL extraction output. Full oracle: warc_ts is the
     deterministic ``EPOCH + 137s * i`` of fixtures.page, so DuckDB
     reconstructs the identical windows from the committed golden TSV."""
-    from cpp_paddle_ocr_spark.streaming.metrics import (
-        extract_stream_with_ts,
-        windowed_quality,
-    )
+    from cpp_paddle_ocr_spark.streaming.metrics import extract_stream_with_ts
 
     docs = generate_documents(spark, _N_GOLDEN, oversize_max=2_000_000)
-    wq = windowed_quality(extract_stream_with_ts(docs))
-    return wq.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        F.col("n_pages"),
-        F.col("n_ok"),
-        F.col("n_spans"),
+    out = extract_stream_with_ts(docs)
+    # window key from timestamp COMPONENTS, not F.window: the driver's
+    # session timezone is not ours to pin, and F.window aligns to the UTC
+    # epoch — under a host tz with a non-whole-hour offset the boundaries
+    # would shift by :30 against the oracle. Components round-trip the
+    # naive fixture timestamp identically in any session tz. The true
+    # F.window + watermark form runs under our own (UTC-pinned) session in
+    # tests/test_streaming_metrics.py.
+    window_start = F.format_string(
+        "%04d-%02d-%02d %02d:00:00",
+        F.year("warc_ts"),
+        F.month("warc_ts"),
+        F.dayofmonth("warc_ts"),
+        F.hour("warc_ts"),
+    )
+    return (
+        out.groupBy(window_start.alias("window_start"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.col("success").cast("long")).alias("n_ok"),
+            F.sum("n_blocks").alias("n_spans"),
+        )
     )
 
 

@@ -111,7 +111,17 @@ def main() -> None:
     from cpp_paddle_ocr_spark.sources.documents import generate_layout_docs
 
     n_layout = max(96, n_docs // 4)
-    lpath = ROOT / ".benchdata" / f"layout_n{n_layout}"
+    # cache key includes a content signature: a row-count-only key would
+    # silently benchmark stale parquet after a fixture-generator change
+    # (the stale-artifact trap of CLAUDE.md gotcha #8)
+    import hashlib
+
+    from cpp_paddle_ocr_spark.fixtures import layout_page
+
+    sig = hashlib.md5(
+        b"".join(layout_page(i)["html"] for i in range(8))
+    ).hexdigest()[:8]
+    lpath = ROOT / ".benchdata" / f"layout_n{n_layout}_{sig}"
     if not (lpath / "_SUCCESS").exists():
         generate_layout_docs(spark, n_layout).write.mode("overwrite").parquet(
             str(lpath)

@@ -125,17 +125,26 @@ def table_resize_pad(codes: np.ndarray, max_len: int = TABLE_MAX_LEN) -> np.ndar
     return codes[idx]
 
 
+_TABLE_BOUND_RE = re.compile(r"<table\b|</table\b[^>]*>", re.IGNORECASE)
+
+
 def find_table_regions(doc: str) -> list[tuple[int, int]]:
     """Outermost ``<table``…``</table>`` regions as (start, end) char
     offsets; an unclosed table runs to the end of the document (the decode
     loop then exhausts its steps without ever seeing the end token —
-    exactly how the reference behaves when the model never emits ``eos``)."""
+    exactly how the reference behaves when the model never emits ``eos``).
+
+    Matching runs case-insensitively on ``doc`` itself — NEVER on
+    ``doc.lower()``: ``str.lower`` is not length-stable (U+0130 'İ' lowers
+    to two chars), so offsets computed on a lowered copy would misalign on
+    any page containing such characters. The close pattern is the same
+    attribute-tolerant one the tokenizer uses, so region bounds and the
+    decode's end token can never desynchronize."""
     regions: list[tuple[int, int]] = []
-    low = doc.lower()
     depth = 0
     start = -1
-    for m in re.finditer(r"<table\b|</table\s*>", low):
-        if m.group(0).startswith("<table"):
+    for m in _TABLE_BOUND_RE.finditer(doc):
+        if m.group(0)[1] != "/":
             if depth == 0:
                 start = m.start()
             depth += 1

@@ -50,10 +50,21 @@ def _child_target(out_dir: str, name: str) -> str:
     return f"{out_dir}/{name}"
 
 
+_NOT_FOUND_TOKENS = (
+    "PATH_NOT_FOUND",
+    "Path does not exist",
+    "TABLE_OR_VIEW_NOT_FOUND",
+    "cannot be found",
+    "UnresolvedRelation",
+)
+
+
 def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int]:
     try:
         lin = read_lineage(spark, out_dir)
-    except Exception:
+    except Exception as e:  # missing sink = fresh run; anything else raises
+        if not any(tok in str(e) for tok in _NOT_FOUND_TOKENS):
+            raise
         return set()
     rows = lin.filter(F.col("run_id") == run_id).select("bucket").distinct().collect()
     return {r.bucket for r in rows}
@@ -117,14 +128,17 @@ def run_extract_job(
     # matches (pages skipped or doubled) and leaving stale rows behind
     # partition overwrites.
     try:
-        rows = (
-            read_lineage(spark, out_dir)
-            .filter(F.col("run_id") == run_id)
-            .select("bucket", "transform")
-            .distinct()
-            .collect()
-        )
-    except Exception:
+        lin = read_lineage(spark, out_dir).filter(F.col("run_id") == run_id)
+        if "transform" not in lin.columns:  # pre-round-3 lineage table
+            lin = lin.withColumn("transform", F.lit(None).cast("string"))
+        rows = lin.select("bucket", "transform").distinct().collect()
+    except Exception as e:
+        # ONLY a genuinely missing lineage sink means "fresh run"; a
+        # transient read failure must NOT silently restart from zero (it
+        # would re-extract every committed bucket and bypass the transform
+        # guard above)
+        if not any(tok in str(e) for tok in _NOT_FOUND_TOKENS):
+            raise
         rows = []
     done = {r.bucket for r in rows}
     prior = {r.transform for r in rows if r.transform is not None}
@@ -143,6 +157,28 @@ def run_extract_job(
 
     out_all = None
     if pruned:
+        # the filter prunes files ONLY if it matches the table's physical
+        # partition transform: bucket(n_buckets, url). A mismatched
+        # n_buckets would silently degrade every commit group to a full
+        # table scan — n_groups × the whole input — so verify the spec.
+        try:
+            desc = spark.sql(f"DESCRIBE TABLE {source_table}").collect()
+            specs = [
+                r.data_type
+                for r in desc
+                if "bucket(" in str(r.data_type) and "url" in str(r.data_type)
+            ]
+            if specs and f"bucket({n_buckets}," not in specs[0].replace(" ", ""):
+                raise RuntimeError(
+                    f"source table {source_table} is partitioned by "
+                    f"{specs[0]!r} but the job was asked for "
+                    f"bucket({n_buckets}, url); per-group scans would not "
+                    "prune — pass the table's own bucket count as n_buckets"
+                )
+        except RuntimeError:
+            raise
+        except Exception:
+            pass  # DESCRIBE shape varies by catalog; pruning stays best-effort
         iceberg_bucket = F.expr(f"{CATALOG}.system.bucket({n_buckets}, url)")
 
         def group_output(chunk: list[int]) -> DataFrame:
@@ -186,6 +222,7 @@ def run_extract_job(
         def group_output(chunk: list[int]) -> DataFrame:
             return out_all.filter(F.col("bucket").isin(chunk))
 
+    group_cache = None
     try:
         for g in range(0, len(todo), group_size):
             chunk = todo[g : g + group_size]
@@ -196,10 +233,14 @@ def run_extract_job(
                 # consumed below by the write AND the stats aggregation
                 # (whose plan is referenced twice by the lineage anti-join)
                 # — persist so the mapInPandas extraction runs ONCE per
-                # group, not 2-3x
+                # group, not 2-3x. Unpersisted in the finally below so a
+                # failed group does not leak pinned executor storage.
                 from pyspark.storagelevel import StorageLevel
 
                 part = part.persist(StorageLevel.MEMORY_AND_DISK)
+                group_cache = part
+            else:
+                group_cache = None
             # Iceberg overwritePartitions when out_dir is a table identifier
             # (atomic metadata swap, one snapshot per commit group); dynamic
             # partition overwrite on the parquet path fallback
@@ -244,8 +285,9 @@ def run_extract_job(
                 lineage.write.mode("append").saveAsTable(t)
             else:
                 lineage.write.mode("append").parquet(t)
-            if pruned:
-                part.unpersist()
+            if group_cache is not None:
+                group_cache.unpersist()
+                group_cache = None
             if fail_after_group is not None and g // group_size >= fail_after_group:
                 raise SimulatedFailure(
                     f"injected failure after commit group {g // group_size}"
@@ -253,6 +295,8 @@ def run_extract_job(
     finally:
         if out_all is not None:
             out_all.unpersist()
+        if group_cache is not None:  # a failed group must not leak its cache
+            group_cache.unpersist()
     return run_id
 
 

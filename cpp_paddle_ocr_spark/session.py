@@ -50,6 +50,10 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # pin the session timezone: event-time windows (F.window) align to
+        # the UTC epoch, so an unpinned host tz with a non-whole-hour offset
+        # would shift window boundaries and formatted timestamps
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
