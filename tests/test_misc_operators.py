@@ -42,3 +42,22 @@ def test_default_mode_is_fast():
     from cpp_paddle_ocr_spark.config import DET_SCORE_MODE
 
     assert DET_SCORE_MODE == "fast"  # the live config, src/ocr_worker.cpp:32
+
+
+def test_rotate_crop_span_facility():
+    # C2 GetRotateCropImage transplant (lib-only, like the reference:
+    # provided and tested, never called by the live worker path)
+    from cpp_paddle_ocr_spark.core.crop import crop_span, rotate_crop_span
+
+    doc = "abcdef"
+    assert crop_span(doc, -5, 3) == "abc"  # C3 zero-pad clamping
+    assert crop_span(doc, 4, 99) == "ef"
+    # skewed multi-line crop re-flows to one upright line
+    assert rotate_crop_span("x\nhello\nworld y\nz", 2, 13) == "hello world"
+    # vertical text (lines >= 1.5x widest line) rotates upright: joined
+    vertical = "数\n据\n引\n擎"
+    assert rotate_crop_span(vertical, 0, len(vertical)) == "数据引擎"
+    # near-square crop is NOT rotated
+    sq = "ab\ncd"
+    assert rotate_crop_span(sq, 0, len(sq)) == "ab cd"
+    assert rotate_crop_span("", 0, 0) == ""
