@@ -100,8 +100,8 @@ def run_extract_job(
     consulted — pass the table's unmodified contents (or ``None``); any
     filter/projection applied to ``docs`` would be silently discarded, so
     pre-filtering must instead live in the table (snapshot/branch) itself.
-    Each commit group then re-reads the SOURCE filtered to its buckets — the lineage bucket is then
-    Iceberg's own ``system.bucket(n, url)`` transform, the same transform
+    Each commit group then re-reads the SOURCE filtered to its buckets —
+    the lineage bucket is Iceberg's own ``system.bucket(n, url)``, the same
     the documents table is partitioned by (``iceberg.write_documents``), so
     the filter is a partition predicate and Iceberg prunes data files
     (system-function pushdown, Iceberg ≥1.3 on Spark ≥3.4): a group's scan
