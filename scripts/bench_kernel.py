@@ -32,7 +32,7 @@ def main() -> None:
     rows = [page(i, OVERSIZE_MAX) for i in range(n)]
     urls = [r["url"] for r in rows]
     htmls = [r["html"] for r in rows]
-    extract_batch(urls[: min(50, n)], htmls[: min(50, n)])  # warm
+    extract_batch(urls, htmls)  # FULL warmup pass (CLAUDE.md perf rule #6)
     rates = []
     for _ in range(passes):
         t0 = time.perf_counter()

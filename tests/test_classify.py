@@ -72,7 +72,7 @@ def test_fast_exp_softmax_parity_knob():
     # its documented ~3-4% and never changes the argmax on batch logits
     import numpy as np
 
-    from cpp_paddle_ocr_spark.core.activations import fast_exp, softmax_rows
+    from cpp_paddle_ocr_spark.core.activations import fast_exp
     from cpp_paddle_ocr_spark.core.classify import classify_spans
 
     x = np.linspace(-30.0, 0.0, 301)

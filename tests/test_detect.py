@@ -217,21 +217,27 @@ def test_dilation_knob_merges_near_adjacent_runs():
 def test_dilation_never_bridges_blocks():
     # round-3 review: block A's trailing below-threshold token must NOT
     # light up just because block B starts lit
-    import numpy as np
-
     from cpp_paddle_ocr_spark.core.detect import detect_page
     from cpp_paddle_ocr_spark.core.html_parse import parse_blocks
 
-    prose = "plain ordinary sentence with several common words appears here"
-    doc = f"<html><body><p>{prose} 42</p><p>{prose}</p></body></html>"
+    prose_a = "plain ordinary sentence with several common words appears here"
+    prose_b = "another different paragraph follows with more everyday words in it"
+    doc = f"<html><body><p>{prose_a} 42</p><p>{prose_b}</p></body></html>"
+    blk2_at = doc.index(prose_b)
     blocks = parse_blocks(doc)
     on = detect_page(doc, blocks, use_dilation=True)
-    # the trailing "42" of block 1 may merge INTO block 1's run only if its
-    # own block continues; block 2's span must start at its own text
-    for s in on:
-        assert "42" not in doc[s.start : s.end] or doc[s.start : s.end].index("42") > 0
     off = detect_page(doc, blocks, use_dilation=False)
-    # block 2's spans identical with/without dilation (no cross-block leak)
-    blk2_on = [s for s in on if doc[s.start : s.end].startswith("Plain") or s.start > len(prose) + 30]
-    blk2_off = [s for s in off if doc[s.start : s.end].startswith("Plain") or s.start > len(prose) + 30]
-    assert [(s.start, s.end) for s in blk2_on] == [(s.start, s.end) for s in blk2_off]
+    # the filters must be NON-vacuous: block 2 produces spans in both modes
+    assert [s for s in on if s.start >= blk2_at]
+    assert [s for s in off if s.start >= blk2_at]
+    # "42" is block A's LAST token: correct dilation lights a token only
+    # when its same-block successor is lit, so here dilation changes
+    # NOTHING — offsets and SCORES identical. The unmasked (buggy) dilate
+    # pulled "42" into block A's RUN (because block B's first token is
+    # lit), dragging the run's mean score down — the score equality below
+    # catches exactly that. ("42" does appear inside block A's span in
+    # both modes via the unclip background expansion, which is D12's
+    # correct live behavior, not bridging.)
+    assert [(s.start, s.end, s.score) for s in on] == [
+        (s.start, s.end, s.score) for s in off
+    ]

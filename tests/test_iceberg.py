@@ -37,7 +37,12 @@ def test_parquet_fallback_roundtrip(spark, tmp_path):
     assert {f.name for f in back.schema.fields} >= {"url", "warc_ts", "html"}
 
 
-def test_iceberg_roundtrip(spark, tmp_path):
+def _require_live_catalog(spark):
+    """Skip unless the SESSION was BUILT with the Iceberg catalog: the
+    extension/catalog confs are static and cannot be set on a live session
+    (setting them here would raise CANNOT_MODIFY_CONFIG in the very
+    environment these tests target). conftest bakes them in when
+    SPARK_GRAFT_ICEBERG_WAREHOUSE is exported."""
     if not iceberg_available(spark):
         pytest.skip(
             "Iceberg runtime jar not on classpath in this sandbox (no "
@@ -45,8 +50,16 @@ def test_iceberg_roundtrip(spark, tmp_path):
             "iceberg-spark-runtime-4.0_2.13:1.10.0); conf documented in "
             "cpp_paddle_ocr_spark/iceberg.py"
         )
-    for k, v in iceberg_conf(str(tmp_path / "wh")).items():
-        spark.conf.set(k, v)
+    if "Iceberg" not in spark.conf.get("spark.sql.extensions", ""):
+        pytest.skip(
+            "session built without the Iceberg catalog — export "
+            "SPARK_GRAFT_ICEBERG_WAREHOUSE and rerun (static conf, see "
+            "tests/conftest.py)"
+        )
+
+
+def test_iceberg_roundtrip(spark, tmp_path):
+    _require_live_catalog(spark)
     docs = generate_documents(spark, 40, oversize_max=2_000_000)
     table = f"{CATALOG}.db.documents"
     write_documents(docs, table, n_buckets=8)
@@ -99,10 +112,7 @@ def test_iceberg_pruned_group_scan(spark, tmp_path):
     # verdict #7: with an Iceberg source table, a commit group's read must
     # prune to its buckets' files (system-function pushdown on the bucket
     # transform the table is partitioned by)
-    if not iceberg_available(spark):
-        pytest.skip("Iceberg runtime jar not on classpath in this sandbox")
-    for k, v in iceberg_conf(str(tmp_path / "wh")).items():
-        spark.conf.set(k, v)
+    _require_live_catalog(spark)
     from pyspark.sql import functions as F
 
     from cpp_paddle_ocr_spark.lineage import run_extract_job
@@ -119,7 +129,11 @@ def test_iceberg_pruned_group_scan(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "bucket" in plan.lower()  # pushed filter visible in the scan
+    # pruning assertion: the bucket predicate must appear INSIDE the
+    # BatchScan node (pushed into the scan), not merely in a post-scan
+    # Filter — the latter reads every file and filters rows
+    scan_section = plan[plan.index("BatchScan"):].splitlines()[0:3]
+    assert any("bucket" in ln for ln in scan_section), plan
     run_extract_job(
         spark,
         docs,

@@ -48,9 +48,10 @@ def test_decode_table_reference_mechanics():
     assert len(t.cells) == 3
     assert [c.text for c in t.cells] == ["a b", "cd", ""]
     assert 0.85 <= t.score < 1.0
-    # all labels the tokenizer can emit are in the post-merge label list
-    for tag in t.structure.replace("><", ">|<").split("|"):
-        pass  # structure is a join; label membership checked via TABLE_LABELS
+    # every label the tokenizer can emit is in the post-merge label list
+    for lbl in ("<thead>", "</thead>", "<tbody>", "</tbody>", "<tr>",
+                "</tr>", "<td", "</td>", "<td></td>"):
+        assert lbl in TABLE_LABELS, lbl
     assert "<td>" not in TABLE_LABELS  # merge_no_span_structure erased it
 
 

@@ -152,14 +152,14 @@ def test_real_bmp_pixel_features_end_to_end(spark):
     blobs = [("b0", _media_bmp(3, 9, 5)), ("b1", _media_bmp(11, 4, 7))]
     df = spark.createDataFrame(blobs, "url string, media binary")
     got = {r.url: r.feature for r in extract_media_features(df, real=True).collect()}
+    fake = {
+        r.url: r.feature
+        for r in extract_media_features(df, real=False).collect()
+    }
     for url, blob in blobs:
         exp = bmp_features(decode_bmp_pixels(blob))
         assert np.allclose(got[url], exp), url
         # real features, not the byte-hash fake
-        fake = {
-            r.url: r.feature
-            for r in extract_media_features(df, real=False).collect()
-        }
         assert not np.allclose(fake[url], exp)
 
 
