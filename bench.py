@@ -95,6 +95,7 @@ def main() -> None:
         ("dedup_lsh_pairs", dedup.QUERIES["dedup_lsh_pairs"]),
         ("sim_cosine_topk", similarity.QUERIES["sim_cosine_topk"]),
         ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
+        ("sim_ivf_ann", similarity.QUERIES["sim_ivf_ann"]),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),

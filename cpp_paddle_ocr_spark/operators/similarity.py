@@ -253,7 +253,14 @@ NPROBE = 4
 
 
 def _centroid_dot(emb: str, j: int) -> str:
-    """dot(emb, centroid_j) with the closed-form centroid component."""
+    """dot(emb, centroid_j) with the closed-form centroid component.
+
+    JVM-side sequential fold so the DuckDB oracle reproduces the exact
+    float sums (same summation order). At production scale the assignment
+    would be a vectorized pandas-UDF matmul (n×DIM @ DIM×N_CENTROIDS, one
+    Arrow batch per task) — ~10-100× less per-row expression work — at the
+    cost of SIMD/pairwise summation order, which breaks bit-parity with a
+    sequential-fold oracle; the oracle-checked form stays the fold."""
     return (
         f"aggregate(sequence(0, {DIM - 1}), 0.0D, (acc, i) -> acc + "
         f"element_at({emb}, i + 1) * "
