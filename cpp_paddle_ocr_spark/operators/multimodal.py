@@ -8,10 +8,12 @@ extraction cascade.
 (IHDR), GIF (logical screen descriptor), JPEG (SOF segment scan) and BMP
 (BITMAPINFOHEADER) — pure-Python byte parsing, no codec library — yielding
 true width/height/media_type; formats without a parser get NULL dims.
-Pixel-level work is REAL for uncompressed BMP (``decode_bmp_pixels`` — the
-pixel array is pure offset arithmetic, no codec needed), so
-``extract_media_features(real=True)`` produces genuine pixel-derived
-features end-to-end for that format. Formats that need a codec library
+Pixel/sample-level work is REAL for uncompressed BMP
+(``decode_bmp_pixels``) and integer-PCM WAV (``decode_wav_samples``) — both
+are pure offset arithmetic, no codec needed — so
+``extract_media_features(real=True)`` produces genuine pixel- or
+sample-derived features end-to-end for those formats. Formats that need a
+codec library
 (PNG inflate, JPEG DCT, video demux — PIL/ffmpeg, absent in this
 container) stay STUBBED: ``real=False`` (default) runs a deterministic
 fake (hash-derived values) that keeps every Spark-side contract real —
@@ -190,6 +192,71 @@ def decode_bmp_pixels(blob: bytes) -> "np.ndarray | None":
     return np.ascontiguousarray(rows[:, :, 2::-1])
 
 
+def decode_wav_samples(blob: bytes) -> "tuple[np.ndarray, int] | None":
+    """REAL sample decode for PCM WAV — RIFF chunk walk, pure offset
+    arithmetic, no codec library.
+
+    Supports format 1 (integer PCM) at 8/16/32 bits, any channel count
+    (channels are averaged to mono). Returns (samples float64 in [-1, 1],
+    sample_rate), or None if the blob is not a decodable PCM WAV.
+    """
+    if not blob.startswith(b"RIFF") or len(blob) < 44 or blob[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or n_channels < 1 or bits not in (8, 16, 32):
+        return None
+    width = bits // 8
+    usable = (len(data) // (width * n_channels)) * width * n_channels
+    if usable == 0:
+        return None
+    if bits == 8:  # 8-bit WAV is UNSIGNED
+        raw = np.frombuffer(data, np.uint8, count=usable).astype(np.float64)
+        raw = (raw - 128.0) / 128.0
+    else:
+        dt = np.int16 if bits == 16 else np.int32
+        raw = np.frombuffer(data, dt, count=usable // width).astype(np.float64)
+        raw = raw / float(2 ** (bits - 1))
+    return raw.reshape(-1, n_channels).mean(axis=1), sample_rate
+
+
+def wav_features(samples: "np.ndarray", sample_rate: int) -> "np.ndarray":
+    """FEATURE_DIM real features from decoded PCM samples: [rms, mean |x|,
+    peak, zero-crossing rate, mean, std, duration (log-scaled to [0,1]),
+    rate (scaled)] — deterministic audio descriptors from true samples."""
+    x = samples
+    dur = x.size / float(sample_rate)
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
+    return np.array(
+        [
+            float(np.sqrt(np.mean(x * x))),
+            float(np.mean(np.abs(x))),
+            float(np.max(np.abs(x))),
+            zcr,
+            (float(np.mean(x)) + 1.0) / 2.0,
+            float(np.std(x)),
+            min(1.0, np.log1p(dur) / 10.0),
+            min(1.0, sample_rate / 192_000.0),
+        ]
+    )
+
+
 def bmp_features(px: "np.ndarray") -> "np.ndarray":
     """FEATURE_DIM real features from a decoded (h, w, 3) RGB array — the
     deterministic stand-in for a CNN forward, computed from true pixels:
@@ -229,11 +296,12 @@ def extract_media_features(df: DataFrame, real: bool = False) -> DataFrame:
     stand-in for a batched model forward (X2 discipline).
 
     ``real=True`` decodes TRUE pixels for uncompressed BMP blobs
-    (``decode_bmp_pixels`` — pure offset arithmetic, no codec) and derives
-    the features from them; formats that need a codec library (PNG inflate,
-    JPEG DCT, video demux) raise ``NotImplementedError`` — the stub now
-    covers only genuinely codec-requiring formats. ``real=False`` keeps the
-    deterministic byte-hash fake for every format.
+    (``decode_bmp_pixels``) and TRUE samples for PCM WAV blobs
+    (``decode_wav_samples``) — both pure offset arithmetic, no codec — and
+    derives the features from them; formats that need a codec library (PNG
+    inflate, JPEG DCT, video demux) raise ``NotImplementedError`` — the
+    stub covers only genuinely codec-requiring formats. ``real=False``
+    keeps the deterministic byte-hash fake for every format.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,13 +313,18 @@ def extract_media_features(df: DataFrame, real: bool = False) -> DataFrame:
                 blob = bytes(blob)
                 if real:
                     px = decode_bmp_pixels(blob)
-                    if px is None:
-                        raise NotImplementedError(
-                            "real feature extraction beyond uncompressed BMP "
-                            "needs a codec library (PIL/ffmpeg), absent here"
-                        )
-                    feats[i] = bmp_features(px)
-                    continue
+                    if px is not None:
+                        feats[i] = bmp_features(px)
+                        continue
+                    wav = decode_wav_samples(blob)
+                    if wav is not None:
+                        feats[i] = wav_features(*wav)
+                        continue
+                    raise NotImplementedError(
+                        "real feature extraction beyond uncompressed BMP "
+                        "and PCM WAV needs a codec library (PIL/ffmpeg), "
+                        "absent here"
+                    )
                 b = np.frombuffer(blob[:4096], dtype=np.uint8)
                 pad = (-b.size) % FEATURE_DIM
                 m = np.pad(b, (0, pad)).reshape(-1, FEATURE_DIM).astype(np.float64)

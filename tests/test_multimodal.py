@@ -187,3 +187,41 @@ def test_media_golden_tsv_matches_kernel():
             ]
         )
         assert line == exp, i
+
+
+def test_real_wav_sample_features_end_to_end(spark):
+    # PCM WAV sample decode is pure offset arithmetic — the second format
+    # whose real=True features come from genuinely decoded content
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.fixtures import _media_wav
+    from cpp_paddle_ocr_spark.operators.multimodal import (
+        decode_wav_samples,
+        wav_features,
+    )
+
+    blob = _media_wav(5)
+    samples, rate = decode_wav_samples(blob)
+    assert rate == 8000 and samples.size > 0
+    assert np.all(np.abs(samples) <= 1.0)
+    # hand-check one sample: data bytes are (j*11 + 15) % 256 little-endian
+    # int16 pairs; sample 0 = int16 of bytes (15, 26) / 32768
+    import struct
+
+    exp0 = struct.unpack("<h", bytes(((0 * 11 + 15) % 256, (1 * 11 + 15) % 256)))[0] / 32768.0
+    assert abs(samples[0] - exp0) < 1e-12
+    df = spark.createDataFrame([("w", blob)], "url string, media binary")
+    got = extract_media_features(df, real=True).collect()[0].feature
+    assert np.allclose(got, wav_features(samples, rate))
+
+
+def test_wav_decode_rejects_non_pcm_and_truncated():
+    from cpp_paddle_ocr_spark.operators.multimodal import decode_wav_samples
+
+    assert decode_wav_samples(b"RIFF" + b"w" * 64) is None  # no WAVE tag
+    assert decode_wav_samples(b"RIFFxxxxWAVE") is None  # no chunks
+    from cpp_paddle_ocr_spark.fixtures import _media_wav
+
+    blob = bytearray(_media_wav(3))
+    blob[20:22] = (3).to_bytes(2, "little")  # IEEE-float format → None
+    assert decode_wav_samples(bytes(blob)) is None
