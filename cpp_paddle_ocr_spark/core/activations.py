@@ -24,7 +24,12 @@ def fast_exp(x: np.ndarray) -> np.ndarray:
     ``x - max(x) <= 0``; below ~-87.3 the C version's float→uint32 cast is
     UB — we clamp there, which maps to a subnormal/zero result)."""
     y = (1 << 23) * (_LOG2E * x.astype(np.float64) + np.float64(_BIAS))
-    bits = np.clip(y, 0, np.iinfo(np.uint32).max).astype(np.uint32)
+    # upper clamp is max FINITE float32 (0x7F7FFFFF), not uint32 max: a
+    # large positive input (x > ~88) would otherwise view as 0xFFFFFFFF =
+    # NaN and poison the softmax. Softmax callers feed x - max(x) <= 0
+    # (where y < 2^30, untouched by either clamp), so this only hardens
+    # the unshifted-logits case.
+    bits = np.clip(y, 0, 0x7F7FFFFF).astype(np.uint32)
     return bits.view(np.float32).astype(np.float64)
 
 

@@ -220,7 +220,14 @@ def decode_wav_samples(blob: bytes) -> "tuple[np.ndarray, int] | None":
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or n_channels < 1 or bits not in (8, 16, 32):
+    # sample_rate == 0 would make wav_features' duration divide by zero —
+    # a zeroed rate field is malformed, reject like any undecodable blob
+    if (
+        audio_format != 1
+        or n_channels < 1
+        or sample_rate == 0
+        or bits not in (8, 16, 32)
+    ):
         return None
     width = bits // 8
     usable = (len(data) // (width * n_channels)) * width * n_channels
@@ -344,7 +351,12 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 65536, real: bool = False) 
     """
     if real:
         raise NotImplementedError("real frame sampling needs ffmpeg")
-    n_frames = (F.length("media") / F.lit(every_n_bytes)).cast("int") + 1
+    # ceil(len / n) via (len-1)/n + 1, guarded for len == 0 (one empty
+    # frame row keeps the fan-out shape): the old floor(len/n)+1 emitted a
+    # past-the-end frame with an empty header for exact-multiple lengths
+    n_frames = (
+        F.greatest(F.length("media") - 1, F.lit(0)) / F.lit(every_n_bytes)
+    ).cast("int") + 1
     return (
         df.select("url", "media", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
         .select(

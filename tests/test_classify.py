@@ -84,3 +84,15 @@ def test_fast_exp_softmax_parity_knob():
     l_fast, s_fast = classify_spans(texts, softmax_mode="fast_exp")
     assert (l_exact == l_fast).all()
     assert np.abs(s_exact - s_fast).max() < 0.02
+
+
+def test_fast_exp_large_positive_stays_finite():
+    # ADVICE r3: unshifted logits (x > ~88) must clamp to max-finite
+    # float32, never view as 0xFFFFFFFF = NaN
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.core.activations import fast_exp
+
+    out = fast_exp(np.array([100.0, 1000.0, 1e6]))
+    assert np.all(np.isfinite(out))
+    assert np.all(out > 0)
