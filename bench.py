@@ -95,7 +95,10 @@ def main() -> None:
         ("dedup_lsh_pairs", dedup.QUERIES["dedup_lsh_pairs"]),
         ("sim_cosine_topk", similarity.QUERIES["sim_cosine_topk"]),
         ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
-        ("sim_ivf_ann", similarity.QUERIES["sim_ivf_ann"]),
+        # benches the PRODUCTION batched-matmul assignment (round-4); the
+        # fold form stays the driver-oracle path only
+        ("sim_ivf_ann", similarity.q_ivf_ann_batched),
+        ("sim_knn_join", similarity.q_knn_join_batched),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),

@@ -15,6 +15,8 @@ exact scoring only on survivors — the det→rec shape applied to ANN.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .common import load
@@ -70,12 +72,23 @@ LIMIT {TOPK}
 
 
 def _plane_dot(emb: str, j: int) -> str:
-    """Signed sum for hyperplane j: weight(i) = +1 if (i*31 + j*17) even."""
-    return (
-        f"aggregate(sequence(0, {DIM - 1}), 0.0D, (acc, i) -> acc + "
-        f"element_at({emb}, i + 1) * (CASE WHEN pmod(i * 31 + {j} * 17, 2) = 0 "
-        f"THEN 1.0D ELSE -1.0D END))"
-    )
+    """Signed sum for hyperplane j: weight(i) = +1 if (i*31 + j*17) even.
+
+    UNROLLED (no higher-order ``aggregate`` lambda): a lambda expression
+    used as a self-join/window key trips a Catalyst attribute-dedup bug on
+    the Arrow collect path (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, hit by
+    ``knn_join``). The unrolled left-associated sum is bit-identical to the
+    sequential fold (0.0 + t0 + t1 + …) and stays inside whole-stage
+    codegen without per-row lambda dispatch."""
+    parts = []
+    for i in range(DIM):
+        pos = (i * 31 + j * 17) % 2 == 0
+        term = f"element_at({emb}, {i + 1})"
+        if i == 0:
+            parts.append(term if pos else f"(0.0D - {term})")
+        else:
+            parts.append(f"{'+' if pos else '-'} {term}")
+    return "(" + " ".join(parts) + ")"
 
 
 def _bucket_col(emb: str):
@@ -256,11 +269,11 @@ def _centroid_dot(emb: str, j: int) -> str:
     """dot(emb, centroid_j) with the closed-form centroid component.
 
     JVM-side sequential fold so the DuckDB oracle reproduces the exact
-    float sums (same summation order). At production scale the assignment
-    would be a vectorized pandas-UDF matmul (n×DIM @ DIM×N_CENTROIDS, one
-    Arrow batch per task) — ~10-100× less per-row expression work — at the
-    cost of SIMD/pairwise summation order, which breaks bit-parity with a
-    sequential-fold oracle; the oracle-checked form stays the fold."""
+    float sums (same summation order). The production default is the
+    vectorized pandas-UDF matmul (``ivf_scores_batched``); this fold form
+    is retained for ``assign="fold"`` — the oracle-checked path — because
+    SIMD/pairwise matmul summation breaks bit-parity with a
+    sequential-fold oracle."""
     return (
         f"aggregate(sequence(0, {DIM - 1}), 0.0D, (acc, i) -> acc + "
         f"element_at({emb}, i + 1) * "
@@ -268,16 +281,121 @@ def _centroid_dot(emb: str, j: int) -> str:
     )
 
 
-def ivf_topk(df: DataFrame, query_vec_id: int = 0, k: int = TOPK) -> DataFrame:
+def _centroid_matrix():
+    """(DIM, N_CENTROIDS) float64 closed-form centroid matrix — the same
+    components `_centroid_dot` folds over, materialized once per executor
+    for the batched path."""
+    i = np.arange(DIM)[:, None]
+    j = np.arange(N_CENTROIDS)[None, :]
+    return ((i * 31 + j * 57) % 17 - 8.0) / 8.0
+
+
+def ivf_scores_batched():
+    """Pandas-UDF centroid scoring: one (n×DIM) @ (DIM×N_CENTROIDS) matmul
+    per Arrow batch — the production assignment path (round-3 verdict #1).
+
+    This is the engine's X2/X4 batched-inference discipline (the reference
+    never does per-item model math: ``src/ocr_rec.cpp:42-94`` batches the
+    whole rec forward) applied to the quantizer. Per row it replaces
+    N_CENTROIDS sequential 64-element Catalyst ``aggregate`` folds (~1,024
+    expression evals) with a slice of one BLAS matmul. The float summation
+    order differs from the fold (pairwise/SIMD vs sequential), so scores can
+    differ in the last ulp — argmax assignment agrees except on exact score
+    ties, which the closed-form centroids make measure-zero (asserted on the
+    fixture set by ``test_ivf_assign_fold_vs_batched_agree``)."""
+    C = _centroid_matrix()
+
+    @F.pandas_udf("array<double>")
+    def scores(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        return pd.Series(list(M @ C))
+
+    return scores
+
+
+def ivf_assign_batched():
+    """Argmax inverted-list assignment as ONE int per row (the production
+    entry point): the matmul of ``ivf_scores_batched`` followed by argmax
+    inside the same Arrow batch, so only a 4-byte list id crosses back."""
+    C = _centroid_matrix()
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        return pd.Series((M @ C).argmax(axis=1).astype("int32"))
+
+    return assign
+
+
+def _ivf_topk_batched(df: DataFrame, query_vec_id: int, k: int) -> DataFrame:
+    """Production IVF ANN: the query row is resolved DRIVER-side (one-row
+    key lookup — the broadcast-side of the plan, not a data collect), its
+    NPROBE probe lists become literal filter values on the scan (a
+    partition-prune-shaped ``isin``, no join at all), and list assignment
+    for the table is the batched matmul UDF evaluated exactly once."""
+    qrow = (
+        df.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("emb"))
+        .head()
+    )
+    if qrow is None:
+        raise ValueError(f"query_vec_id {query_vec_id} not in table")
+    qemb = np.asarray(qrow.emb, dtype=np.float64)
+    qscores = qemb @ _centroid_matrix()
+    order = sorted(range(N_CENTROIDS), key=lambda j: (-qscores[j], j))
+    probe_ids = order[:NPROBE]
+    e = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("list_id", ivf_assign_batched()(F.col("emb")))
+    qlit = F.array(*[F.lit(float(x)) for x in qemb])
+    cands = (
+        e.filter(F.col("list_id").isin(probe_ids))
+        .filter(F.col("vec_id") != query_vec_id)
+        .withColumn("qemb", qlit)
+        .select(
+            "vec_id",
+            "list_id",
+            F.round(
+                F.expr(_dot_expr("emb", "qemb"))
+                / (F.expr(_norm_expr("emb")) * F.expr(_norm_expr("qemb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return cands.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = TOPK,
+    assign: str = "batched",
+) -> DataFrame:
     """IVF ANN: spherical assignment (argmax centroid dot), NPROBE-list
-    probe, exact cosine rank over the probed candidates."""
+    probe, exact cosine rank over the probed candidates.
+
+    ``assign="batched"`` (default, production) resolves the query row
+    driver-side and assigns lists with the pandas-UDF matmul evaluated once
+    over the scan; ``assign="fold"`` keeps the sequential JVM-side
+    ``aggregate`` fold whose summation order is bit-reproducible in the
+    DuckDB oracle (the driver's ``sim_ivf_ann`` entry pins that path)."""
+    if assign == "batched":
+        return _ivf_topk_batched(df, query_vec_id, k)
+    if assign != "fold":
+        raise ValueError(f"assign must be 'batched' or 'fold', got {assign!r}")
     e = (
         df.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
         .withColumn(
             "scores",
-            F.array(*[F.expr(_centroid_dot("emb", j)) for j in range(N_CENTROIDS)]),
+            F.array(
+                *[F.expr(_centroid_dot("emb", j)) for j in range(N_CENTROIDS)]
+            ),
         )
         .withColumn(
             "list_id",
@@ -350,8 +468,241 @@ LIMIT {TOPK}
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the driver-oracle entry pins the fold assignment (bit-parity with the
+    # sequential-sum DuckDB SQL); production callers get assign="batched"
+    return ivf_topk(load(spark, sf_dir, "embeddings"), assign="fold")
+
+
+def q_ivf_ann_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production default (pandas-UDF matmul assignment) — benched as
+    ``sim_ivf_ann`` so the bench line reflects what production callers get;
+    argmax agreement with the oracle fold is pinned by
+    ``test_ivf_assign_fold_vs_batched_agree``."""
     return ivf_topk(load(spark, sf_dir, "embeddings"))
 
 
 QUERIES["sim_ivf_ann"] = q_ivf_ann
 ORACLES["sim_ivf_ann"] = IVF_ANN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Full-table kNN join — top-k neighbors for EVERY row (round-3 verdict #2).
+# This is the operator a training-data pipeline actually calls (semantic
+# dedup, cluster balancing); the single-query ANN entries above are demos of
+# the same machinery. Scale shape: candidates come from an equality
+# self-join on the LSH bucket (or IVF list) — the shuffle key is the bucket,
+# the per-bucket pair fan-out is bounded by ``bucket_cap`` with the same
+# anchor-star degradation as ``lsh_neardup_pairs``; per-row top-k is one
+# ``row_number`` window over the candidate pairs (partitioned by vec_id, so
+# it re-uses the a-side of the join shuffle). Nothing is ever n² globally.
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+_KNN_SCHEMA = (
+    "vec_id long, neighbor_id long, cosine double, knn_rank int"
+)
+
+
+def _round_half_up_6(x):
+    """Spark's F.round is HALF_UP (away from zero); numpy rounds half to
+    even — match Spark/DuckDB so engines agree at the 6-dp boundary."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def _knn_group_fn(k: int, bucket_cap: int):
+    """Per-bucket kNN kernel for ``applyInPandas``: ONE matmul per bucket
+    (M @ M.T, bounded by bucket_cap² ≈ 8 MB at the default cap), per-row
+    top-k by (cosine desc, neighbor_id asc); over-cap buckets degrade to
+    the anchor-star O(n) shape. X2/X4 discipline: all scoring is one BLAS
+    call per Arrow group, never per-pair expression work."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        out = {"vec_id": [], "neighbor_id": [], "cosine": [], "knn_rank": []}
+        if n >= 2:
+            ids = pdf["vec_id"].to_numpy()
+            M = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+            )
+            norms = np.sqrt((M * M).sum(axis=1))
+
+            def emit(i: int, cand: np.ndarray, cos: np.ndarray) -> None:
+                sel = np.lexsort((ids[cand], -cos))[:k]
+                for r, s_i in enumerate(sel, 1):
+                    out["vec_id"].append(ids[i])
+                    out["neighbor_id"].append(ids[cand[s_i]])
+                    out["cosine"].append(cos[s_i])
+                    out["knn_rank"].append(r)
+
+            if n <= bucket_cap:
+                S = _round_half_up_6((M @ M.T) / np.outer(norms, norms))
+                for i in range(n):
+                    cand = np.delete(np.arange(n), i)
+                    emit(i, cand, S[i, cand])
+            else:
+                a = int(ids.argmin())
+                members = np.delete(np.arange(n), a)
+                star_cos = _round_half_up_6(
+                    (M[members] @ M[a]) / (norms[members] * norms[a])
+                )
+                emit(a, members, star_cos)  # anchor ranks every member
+                for pos, i in enumerate(members):  # members rank anchor only
+                    emit(int(i), np.asarray([a]), star_cos[pos : pos + 1])
+        return pd.DataFrame(out)
+
+    return fn
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = KNN_K,
+    method: str = "lsh",
+    bucket_cap: int = BUCKET_CAP,
+    engine: str = "batched",
+) -> DataFrame:
+    """Top-k neighbors per row: (vec_id, neighbor_id, cosine, knn_rank).
+
+    ``method="lsh"`` buckets by the 8-plane sign hash; ``method="ivf"``
+    buckets by the batched-matmul centroid argmax (candidates = same
+    inverted list — the nprobe=1 per-row probe). Rows in buckets over
+    ``bucket_cap`` rank against the bucket's anchor (min vec_id) only, and
+    the anchor against all members — O(n) pairs per over-cap bucket instead
+    of n². Recall is bounded by the bucket scheme: neighbors in other
+    buckets are unseen — the standard LSH/IVF trade.
+
+    ``engine="batched"`` (default, production): ONE shuffle (groupBy
+    bucket) into a per-bucket ``applyInPandas`` matmul — scoring is a BLAS
+    call per bucket, memory bounded by bucket_cap². ``engine="expr"``: the
+    JVM-expression self-join + window form whose sequential float sums are
+    bit-reproducible in the DuckDB oracle (the driver's ``sim_knn_join``
+    entry pins it); both engines round half-up at 6 dp and agree exactly
+    (``test_knn_join_engines_agree``).
+    """
+    e = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    if method == "lsh":
+        e = e.withColumn("key", _bucket_col("emb"))
+    elif method == "ivf":
+        e = e.withColumn("key", ivf_assign_batched()(F.col("emb")))
+    else:
+        raise ValueError(f"method must be 'lsh' or 'ivf', got {method!r}")
+    if engine == "batched":
+        return e.groupBy("key").applyInPandas(
+            _knn_group_fn(k, bucket_cap), _KNN_SCHEMA
+        )
+    if engine != "expr":
+        raise ValueError(f"engine must be 'batched' or 'expr', got {engine!r}")
+    from pyspark.sql import Window
+    # norm once per row (not per pair): halves the fold work in the join
+    e = e.withColumn("norm", F.expr(_norm_expr("emb")))
+    w = Window.partitionBy("key")
+    e = e.withColumn("n_key", F.count("*").over(w)).withColumn(
+        "anchor", F.min("vec_id").over(w)
+    )
+
+    # each join side gets DISTINCT column names before the join — qualified
+    # a.*/b.* refs inside parsed expressions over a windowed self-join hit
+    # Catalyst attribute-dedup resolution bugs (ATTRIBUTE_NOT_FOUND)
+    def a_side(d: DataFrame) -> DataFrame:
+        return d.select(
+            "vec_id",
+            F.col("emb").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+            "key",
+        )
+
+    def b_side(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+            F.col("key").alias("key_b"),
+        )
+
+    def scored(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                F.expr(_dot_expr("emb_a", "emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cosine"),
+        )
+
+    small = e.filter(F.col("n_key") <= bucket_cap)
+    dense = scored(
+        a_side(small).join(
+            b_side(small),
+            (F.col("key") == F.col("key_b"))
+            & (F.col("vec_id") != F.col("neighbor_id")),
+        )
+    )
+    big = e.filter(F.col("n_key") > bucket_cap)
+    anchors = big.filter(F.col("vec_id") == F.col("anchor"))
+    members = big.filter(F.col("vec_id") != F.col("anchor"))
+    # (member → anchor) and (anchor → member): both O(n) per bucket
+    star = scored(
+        a_side(members).join(
+            b_side(anchors), F.col("key") == F.col("key_b")
+        )
+    ).unionByName(
+        scored(
+            a_side(anchors).join(
+                b_side(members), F.col("key") == F.col("key_b")
+            )
+        )
+    )
+    rw = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dense.unionByName(star)
+        .withColumn("knn_rank", F.row_number().over(rw))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+KNN_JOIN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         ({_bucket_sql('(embedding::DOUBLE[])')}) AS key,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
+  FROM e a JOIN e b ON a.key = b.key AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS knn_rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, cosine, knn_rank
+FROM ranked WHERE knn_rank <= {KNN_K}
+"""
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oracle scale never exceeds BUCKET_CAP per bucket, so the dense branch
+    # alone is exercised here and the SQL form needs no star arm; the star
+    # degradation is pinned by tests/test_lsh_skew.py instead. The oracle
+    # pins engine="expr" (sequential-fold bit-parity with DuckDB); the
+    # production/bench default is the per-bucket matmul.
+    return knn_join(load(spark, sf_dir, "embeddings"), engine="expr")
+
+
+def q_knn_join_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production engine, benched as ``sim_knn_join``; exact agreement with
+    the expr engine is pinned by ``test_knn_join_engines_agree``."""
+    return knn_join(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES["sim_knn_join"] = q_knn_join
+ORACLES["sim_knn_join"] = KNN_JOIN_SQL

@@ -49,3 +49,24 @@ def test_lsh_neardup_pairs_bounded_on_duplicate_cluster(spark):
     rows = pairs.collect()
     assert len(rows) == 499
     assert all(r.vec_a == 0 and abs(r.cosine - 1.0) < 1e-9 for r in rows)
+
+
+def test_knn_join_bounded_on_duplicate_cluster(spark):
+    # 500 identical embeddings in one bucket with a low cap: the star
+    # degradation must hold for the kNN join too — each non-anchor row ranks
+    # against the anchor only (1 neighbor), the anchor gets its full top-k;
+    # total candidate pairs stay O(n), never n²
+    from cpp_paddle_ocr_spark.operators.similarity import knn_join
+
+    emb = [float(i % 7) + 1.0 for i in range(64)]
+    vecs = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in emb]).alias("embedding"),
+    )
+    rows = knn_join(vecs, k=5, bucket_cap=100).collect()
+    anchor_rows = [r for r in rows if r.vec_id == 0]
+    member_rows = [r for r in rows if r.vec_id != 0]
+    assert len(anchor_rows) == 5  # anchor ranks all members, keeps top-k
+    assert len(member_rows) == 499  # each member: exactly the anchor
+    assert all(r.neighbor_id == 0 and r.knn_rank == 1 for r in member_rows)
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in rows)
