@@ -9,16 +9,17 @@ extraction cascade.
 (BITMAPINFOHEADER) — pure-Python byte parsing, no codec library — yielding
 true width/height/media_type; formats without a parser get NULL dims.
 Pixel/sample-level work is REAL for uncompressed BMP
-(``decode_bmp_pixels``) and integer-PCM WAV (``decode_wav_samples``) — both
-are pure offset arithmetic, no codec needed — so
-``extract_media_features(real=True)`` produces genuine pixel- or
-sample-derived features end-to-end for those formats. Formats that need a
-codec library
-(PNG inflate, JPEG DCT, video demux — PIL/ffmpeg, absent in this
-container) stay STUBBED: ``real=False`` (default) runs a deterministic
-fake (hash-derived values) that keeps every Spark-side contract real —
-schema, partitioning, UDF signature, Arrow batch shape — and ``real=True``
-raises ``NotImplementedError`` where the codec call would go.
+(``decode_bmp_pixels``), non-interlaced 8-bit PNG (``decode_png_pixels`` —
+stdlib ``zlib`` inflate + NumPy unfilter, all five row filters) and
+integer-PCM WAV (``decode_wav_samples``) — none need an external codec —
+so ``extract_media_features(real=True)`` produces genuine pixel- or
+sample-derived features end-to-end for those formats. Formats that
+genuinely need a codec library (JPEG entropy-decode/DCT, video demux —
+libjpeg/ffmpeg, absent in this container) stay STUBBED: ``real=False``
+(default) runs a deterministic fake (hash-derived values) that keeps every
+Spark-side contract real — schema, partitioning, UDF signature, Arrow
+batch shape — and ``real=True`` raises ``NotImplementedError`` where the
+codec call would go.
 """
 
 from __future__ import annotations
@@ -192,6 +193,102 @@ def decode_bmp_pixels(blob: bytes) -> "np.ndarray | None":
     return np.ascontiguousarray(rows[:, :, 2::-1])
 
 
+def decode_png_pixels(blob: bytes) -> "np.ndarray | None":
+    """REAL pixel-array decode for non-interlaced 8-bit PNG — stdlib
+    ``zlib`` inflate + NumPy per-row unfilter, no codec library (round-3
+    verdict #3: PNG compression is RFC-1950 zlib, which every CPython
+    ships; only JPEG's entropy-coding/DCT and video demux genuinely need
+    external codecs).
+
+    Supports bit depth 8 with color types 0 (gray), 2 (RGB), 4 (gray+alpha)
+    and 6 (RGBA), interlace 0, all five row filters (None/Sub/Up/Average/
+    Paeth). Returns an (h, w, 3) uint8 RGB array (gray replicated, alpha
+    dropped), or None if the blob is not a decodable PNG of that shape.
+    """
+    import zlib
+
+    if not blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(blob):
+        clen = int.from_bytes(blob[pos : pos + 4], "big")
+        ctyp = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None
+        if ctyp == b"IHDR":
+            ihdr = body
+        elif ctyp == b"IDAT":
+            idat.append(body)
+        elif ctyp == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if (
+        nch is None
+        or bit_depth != 8
+        or compression != 0
+        or filter_method != 0
+        or interlace != 0
+        or w <= 0
+        or h <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        row = np.frombuffer(raw, np.uint8, count=stride, offset=p + 1).copy()
+        p += stride + 1
+        if ft == 0:  # None
+            rec = row
+        elif ft == 1:  # Sub: per byte-lane cumsum mod 256 (uint8 wraps)
+            rec = np.add.accumulate(
+                row.reshape(w, nch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ft == 2:  # Up
+            rec = row + prev  # uint8 wrap-around is the mod-256 spec math
+        elif ft == 3:  # Average: sequential along the row
+            rec = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - nch]) if i >= nch else 0
+                rec[i] = (int(row[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth: sequential along the row
+            rec = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    if nch == 2:  # gray + alpha → replicate gray, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA→RGB
+
+
 def decode_wav_samples(blob: bytes) -> "tuple[np.ndarray, int] | None":
     """REAL sample decode for PCM WAV — RIFF chunk walk, pure offset
     arithmetic, no codec library.
@@ -302,13 +399,13 @@ def extract_media_features(df: DataFrame, real: bool = False) -> DataFrame:
     Batch shape is real either way: one NumPy matrix per Arrow batch — the
     stand-in for a batched model forward (X2 discipline).
 
-    ``real=True`` decodes TRUE pixels for uncompressed BMP blobs
-    (``decode_bmp_pixels``) and TRUE samples for PCM WAV blobs
-    (``decode_wav_samples``) — both pure offset arithmetic, no codec — and
-    derives the features from them; formats that need a codec library (PNG
-    inflate, JPEG DCT, video demux) raise ``NotImplementedError`` — the
-    stub covers only genuinely codec-requiring formats. ``real=False``
-    keeps the deterministic byte-hash fake for every format.
+    ``real=True`` decodes TRUE pixels for uncompressed BMP and 8-bit PNG
+    blobs (``decode_bmp_pixels`` / ``decode_png_pixels``) and TRUE samples
+    for PCM WAV blobs (``decode_wav_samples``) — offset arithmetic plus
+    stdlib zlib, no codec library — and derives the features from them;
+    formats that genuinely need a codec (JPEG entropy-decode/DCT, video
+    demux) raise ``NotImplementedError``. ``real=False`` keeps the
+    deterministic byte-hash fake for every format.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -320,6 +417,8 @@ def extract_media_features(df: DataFrame, real: bool = False) -> DataFrame:
                 blob = bytes(blob)
                 if real:
                     px = decode_bmp_pixels(blob)
+                    if px is None:
+                        px = decode_png_pixels(blob)
                     if px is not None:
                         feats[i] = bmp_features(px)
                         continue
@@ -328,9 +427,11 @@ def extract_media_features(df: DataFrame, real: bool = False) -> DataFrame:
                         feats[i] = wav_features(*wav)
                         continue
                     raise NotImplementedError(
-                        "real feature extraction beyond uncompressed BMP "
-                        "and PCM WAV needs a codec library (PIL/ffmpeg), "
-                        "absent here"
+                        "real feature extraction beyond BMP/PNG pixels and "
+                        "PCM WAV samples needs a codec library (JPEG "
+                        "entropy-decode/DCT, video demux — libjpeg/ffmpeg, "
+                        "absent here); malformed/truncated blobs of the "
+                        "supported formats also land here"
                     )
                 b = np.frombuffer(blob[:4096], dtype=np.uint8)
                 pad = (-b.size) % FEATURE_DIM

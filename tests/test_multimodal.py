@@ -264,3 +264,175 @@ def test_wav_decode_rejects_zero_sample_rate():
     blob = bytearray(_media_wav(3))
     blob[24:28] = (0).to_bytes(4, "little")  # sample_rate := 0
     assert decode_wav_samples(bytes(blob)) is None
+
+
+# ---------------------------------------------------------------------------
+# Real PNG pixel decode (round-3 verdict #3: PNG is stdlib-zlib, not
+# codec-bound). Fixtures are hand-encoded with an independent forward
+# filterer so the decoder is checked against known pixel values for every
+# filter type.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _encode_png(px, color_type: int, filters) -> bytes:
+    """Forward PNG encoder (test-only reference impl): px is (h, w, nch)
+    uint8; ``filters`` gives the filter byte per row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int32)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for i in range(w * nch):
+            a = int(row[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            c = int(prev[i - nch]) if i >= nch else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - a
+            elif ft == 2:
+                v = row[i] - b
+            elif ft == 3:
+                v = row[i] - ((a + b) >> 1)
+            else:  # Paeth
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[i] - pred
+            raw.append(int(v) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _test_pixels(h, w, nch, seed=0):
+    import numpy as np
+
+    rng = np.arange(h * w * nch, dtype=np.int64)
+    return ((rng * 37 + seed * 101 + rng // 7) % 256).astype(np.uint8).reshape(h, w, nch)
+
+
+def test_png_decode_all_filter_types_rgb():
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.operators.multimodal import decode_png_pixels
+
+    px = _test_pixels(10, 7, 3)
+    # rows cycle through every filter type 0..4
+    blob = _encode_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    got = decode_png_pixels(blob)
+    assert got is not None and got.shape == (10, 7, 3)
+    assert np.array_equal(got, px)
+
+
+def test_png_decode_each_filter_alone():
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.operators.multimodal import decode_png_pixels
+
+    for ft in range(5):
+        px = _test_pixels(5, 4, 3, seed=ft)
+        got = decode_png_pixels(_encode_png(px, 2, [ft]))
+        assert got is not None and np.array_equal(got, px), f"filter {ft}"
+
+
+def test_png_decode_gray_and_alpha_variants():
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.operators.multimodal import decode_png_pixels
+
+    gray = _test_pixels(6, 5, 1, seed=9)
+    got = decode_png_pixels(_encode_png(gray, 0, [0, 1, 2, 3, 4]))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+    ga = _test_pixels(6, 5, 2, seed=3)
+    got = decode_png_pixels(_encode_png(ga, 4, [4, 3, 2, 1, 0]))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+
+    rgba = _test_pixels(6, 5, 4, seed=5)
+    got = decode_png_pixels(_encode_png(rgba, 6, [1, 4, 3]))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_decode_rejects_unsupported_and_garbage():
+    import struct
+    import zlib
+
+    from cpp_paddle_ocr_spark.operators.multimodal import decode_png_pixels
+
+    px = _test_pixels(4, 4, 3)
+    ok = _encode_png(px, 2, [0])
+    assert decode_png_pixels(ok) is not None
+    # interlaced (Adam7) → None
+    bad = bytearray(ok)
+    ihdr_off = 8 + 8  # sig + len/type
+    bad[ihdr_off + 12] = 1
+    assert decode_png_pixels(bytes(bad)) is None
+    # 16-bit depth → None
+    bad = bytearray(ok)
+    bad[ihdr_off + 8] = 16
+    assert decode_png_pixels(bytes(bad)) is None
+    # palette color type → None
+    bad = bytearray(ok)
+    bad[ihdr_off + 9] = 3
+    assert decode_png_pixels(bytes(bad)) is None
+    # corrupt deflate stream → None, no raise
+    body = zlib.compress(b"\x00" * 100)
+    corrupted = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", body[:-4] + b"\x00\x00\x00\x00")
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(corrupted) is None
+    # truncated pixel data → None
+    short = _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+    trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + short
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(trunc) is None
+
+
+def test_real_png_pixel_features_end_to_end(spark):
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.operators.multimodal import (
+        bmp_features,
+        decode_png_pixels,
+    )
+
+    blobs = [
+        ("p0", _encode_png(_test_pixels(9, 5, 3), 2, [0, 1, 2, 3, 4])),
+        ("p1", _encode_png(_test_pixels(4, 11, 4, seed=7), 6, [4, 2])),
+    ]
+    df = spark.createDataFrame(blobs, "url string, media binary")
+    got = {r.url: r.feature for r in extract_media_features(df, real=True).collect()}
+    for url, blob in blobs:
+        exp = bmp_features(decode_png_pixels(blob))
+        assert np.allclose(got[url], exp), url
