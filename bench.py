@@ -134,6 +134,8 @@ def main() -> None:
     for name, op in [
         ("layout_regions", layout.detect_regions),
         ("layout_tables", layout.extract_tables),
+        # composed flagship: cascade + tables + regions in ONE scan/pass
+        ("extract_with_layout", layout.extract_with_layout),
     ]:
         t0 = time.perf_counter()
         op(ldocs).write.format("noop").mode("overwrite").save()

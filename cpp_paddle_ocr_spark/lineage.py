@@ -22,6 +22,7 @@ long-lived worker pool (``tests/test_ocr_worker.cpp:460-565``).
 
 from __future__ import annotations
 
+import logging
 import time
 import uuid
 
@@ -32,8 +33,44 @@ from .operators.extract import extract
 from .schemas import LINEAGE_SCHEMA
 
 
+_log = logging.getLogger(__name__)
+
+
 class SimulatedFailure(RuntimeError):
     """Raised by the fault-injection hook in tests."""
+
+
+def verify_bucket_spec(desc_rows, source_table: str, n_buckets: int) -> bool:
+    """Pure DESCRIBE-output parse behind the per-group pruning guard.
+
+    The per-group scan filter ``system.bucket(n_buckets, url)`` prunes data
+    files ONLY if it matches the table's physical partition transform; a
+    mismatched bucket count silently degrades every commit group to a full
+    table scan (n_groups × the whole input). This checks the DESCRIBE rows:
+
+    * a ``bucket(…, url)``-shaped partition spec with a DIFFERENT bucket
+      count → ``RuntimeError`` (the caller must pass the table's own count);
+    * a matching spec → ``True`` (pruning confirmed);
+    * no recognizable spec (exotic catalog DESCRIBE shapes, rows without a
+      ``data_type`` field) → ``False`` — pruning stays best-effort and the
+      caller logs it, never silently (round-3 ADVICE).
+    """
+    specs = [
+        str(getattr(r, "data_type", ""))
+        for r in desc_rows
+        if "bucket(" in str(getattr(r, "data_type", ""))
+        and "url" in str(getattr(r, "data_type", ""))
+    ]
+    if not specs:
+        return False
+    if f"bucket({n_buckets}," not in specs[0].replace(" ", ""):
+        raise RuntimeError(
+            f"source table {source_table} is partitioned by "
+            f"{specs[0]!r} but the job was asked for "
+            f"bucket({n_buckets}, url); per-group scans would not "
+            "prune — pass the table's own bucket count as n_buckets"
+        )
+    return True
 
 
 def _bucket_col(n_buckets: int):
@@ -161,24 +198,29 @@ def run_extract_job(
         # partition transform: bucket(n_buckets, url). A mismatched
         # n_buckets would silently degrade every commit group to a full
         # table scan — n_groups × the whole input — so verify the spec.
+        # verify_bucket_spec is total over arbitrary row shapes, so only
+        # DESCRIBE itself can fail here; when it does, say so (round-3
+        # ADVICE: a silent pass here hides the exact failure the guard
+        # exists to catch).
         try:
             desc = spark.sql(f"DESCRIBE TABLE {source_table}").collect()
-            specs = [
-                r.data_type
-                for r in desc
-                if "bucket(" in str(r.data_type) and "url" in str(r.data_type)
-            ]
-            if specs and f"bucket({n_buckets}," not in specs[0].replace(" ", ""):
-                raise RuntimeError(
-                    f"source table {source_table} is partitioned by "
-                    f"{specs[0]!r} but the job was asked for "
-                    f"bucket({n_buckets}, url); per-group scans would not "
-                    "prune — pass the table's own bucket count as n_buckets"
+        except Exception as e:
+            _log.warning(
+                "DESCRIBE TABLE %s failed (%s); cannot verify the "
+                "bucket(%d, url) partition spec — per-group scan pruning "
+                "stays best-effort and may silently degrade to full scans",
+                source_table,
+                e,
+                n_buckets,
+            )
+        else:
+            if not verify_bucket_spec(desc, source_table, n_buckets):
+                _log.warning(
+                    "DESCRIBE TABLE %s showed no recognizable "
+                    "bucket(..., url) partition spec; per-group scan "
+                    "pruning is unverified (best-effort)",
+                    source_table,
                 )
-        except RuntimeError:
-            raise
-        except Exception:
-            pass  # DESCRIBE shape varies by catalog; pruning stays best-effort
         iceberg_bucket = F.expr(f"{CATALOG}.system.bucket({n_buckets}, url)")
 
         def group_output(chunk: list[int]) -> DataFrame:

@@ -124,6 +124,103 @@ def detect_regions(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed flagship surface: cascade + layout from ONE shared scan
+# ---------------------------------------------------------------------------
+
+TABLE_STRUCT = T.StructType(
+    [f for f in TABLE_SCHEMA.fields if f.name != "url"]
+)
+REGION_STRUCT = T.StructType(
+    [f for f in REGION_SCHEMA.fields if f.name != "url"]
+)
+
+
+def extract_with_layout(
+    df: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Full det→cls→rec cascade PLUS layout structure per page, one scan.
+
+    The reference exposes table/region structure alongside recognition on
+    one result object (``StructurePredictResult``,
+    ``include/paddle_ocr/utility.h:29-37``); this is the Spark-native form:
+    the extraction output rows gain ``tables``/``regions`` array columns,
+    all produced inside the SAME ``mapInPandas`` pass over the SAME source
+    scan (fused-vs-separate equivalence + single-scan plan shape are pinned
+    by ``tests/test_layout.py``). At 100 TB this halves the scan bytes of
+    running ``extract`` and the layout operators separately, and the plan
+    stays shuffle-free like ``extract``.
+    """
+    from collections.abc import Iterator as _Iterator
+
+    from ..core.pipeline import ROUTE_WORK, extract_batch_routed
+    from ..plans.partitioning import salted_url_partitioning
+    from ..schemas import OUTPUT_SCHEMA
+    from .extract import _slice_budget, prepare_routed
+
+    schema = T.StructType(
+        list(OUTPUT_SCHEMA.fields)
+        + [
+            T.StructField("tables", T.ArrayType(TABLE_STRUCT), False),
+            T.StructField("regions", T.ArrayType(REGION_STRUCT), False),
+        ]
+    )
+
+    def fn(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for whole in batches:
+            for pdf in _slice_budget(whole):
+                out = extract_batch_routed(
+                    pdf["url"].tolist(),
+                    pdf["html"].tolist(),
+                    pdf["html_size"].tolist(),
+                    pdf["route"].tolist(),
+                )
+                tables_col: list[list[dict]] = []
+                regions_col: list[list[dict]] = []
+                for html, route in zip(pdf["html"], pdf["route"]):
+                    if route != ROUTE_WORK or html is None:
+                        tables_col.append([])
+                        regions_col.append([])
+                        continue
+                    doc = _decode(html)
+                    if doc is None:
+                        tables_col.append([])
+                        regions_col.append([])
+                        continue
+                    tables_col.append(
+                        [
+                            {
+                                "table_id": t.table_id,
+                                "start": t.start,
+                                "end": t.end,
+                                "n_cells": len(t.cells),
+                                "structure": t.structure,
+                                "score": t.score,
+                            }
+                            for t in extract_tables_page(doc)
+                        ]
+                    )
+                    regions_col.append(
+                        [
+                            {
+                                "label": r.label,
+                                "start": r.start,
+                                "end": r.end,
+                                "score": r.score,
+                            }
+                            for r in detect_regions_page(doc)
+                        ]
+                    )
+                out["tables"] = tables_col
+                out["regions"] = regions_col
+                yield out
+
+    routed = prepare_routed(df)
+    if num_partitions is not None:
+        routed = salted_url_partitioning(routed, num_partitions)
+    return routed.mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
 # Driver queries + committed-TSV oracles
 # ---------------------------------------------------------------------------
 
@@ -150,10 +247,27 @@ def _q_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_regions(_gen_layout_docs(spark))
 
 
+def _q_extract_with_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full oracle for the composed surface: per-url success + table/region
+    COUNTS, reconstructable in DuckDB from the committed layout TSVs (the
+    cascade text itself is golden-pinned on the documents fixture by
+    ``extract_golden_parity``; equality of the fused cascade columns with
+    plain ``extract`` is pinned by
+    ``test_extract_with_layout_equals_separate_operators``)."""
+    out = extract_with_layout(_gen_layout_docs(spark))
+    return out.select(
+        "url",
+        F.col("success").cast("int").alias("success"),
+        F.size("tables").alias("n_tables"),
+        F.size("regions").alias("n_regions"),
+    )
+
+
 QUERIES = {
     "layout_tables": _q_tables,
     "layout_table_cells": _q_cells,
     "layout_regions": _q_regions,
+    "extract_with_layout": _q_extract_with_layout,
 }
 
 ORACLES = {
@@ -181,5 +295,39 @@ FROM read_csv('{_GOLDEN_DIR / "LAYOUT_REGIONS.tsv"}', delim='\t', header=false,
               columns={{'url': 'VARCHAR', 'label': 'VARCHAR',
                         'start': 'BIGINT', 'end': 'BIGINT',
                         'score': 'DOUBLE'}})
+""",
+    # composed surface: every layout fixture page succeeds (valid utf-8,
+    # never oversized), and its table/region counts equal the committed
+    # per-operator TSVs — urls reconstructed from the deterministic
+    # fixtures.layout_page scheme (i % 97 == i for i < 96)
+    "extract_with_layout": f"""
+WITH urls AS (
+  SELECT 'https://layout' || CAST(i AS VARCHAR) || '.example/doc/'
+         || CAST(i AS VARCHAR) AS url
+  FROM generate_series(0, {N_LAYOUT - 1}) t(i)
+),
+t AS (
+  SELECT url, count(*) AS n
+  FROM read_csv('{_GOLDEN_DIR / "LAYOUT_TABLES.tsv"}', delim='\t',
+                header=false, quote='', escape='',
+                columns={{'url': 'VARCHAR', 'table_id': 'INTEGER',
+                          'start': 'BIGINT', 'end': 'BIGINT',
+                          'n_cells': 'INTEGER', 'structure': 'VARCHAR',
+                          'score': 'DOUBLE'}})
+  GROUP BY url
+),
+r AS (
+  SELECT url, count(*) AS n
+  FROM read_csv('{_GOLDEN_DIR / "LAYOUT_REGIONS.tsv"}', delim='\t',
+                header=false, quote='', escape='',
+                columns={{'url': 'VARCHAR', 'label': 'VARCHAR',
+                          'start': 'BIGINT', 'end': 'BIGINT',
+                          'score': 'DOUBLE'}})
+  GROUP BY url
+)
+SELECT u.url, 1 AS success,
+       CAST(coalesce(t.n, 0) AS INTEGER) AS n_tables,
+       CAST(coalesce(r.n, 0) AS INTEGER) AS n_regions
+FROM urls u LEFT JOIN t USING (url) LEFT JOIN r USING (url)
 """,
 }

@@ -195,3 +195,81 @@ def test_cell_offsets_are_exact_tag_positions():
     for c in t.cells:
         inner = doc[c.start : c.end]
         assert inner in ("in", "exact text")
+
+
+# ---------------------------------------------------------------------------
+# Composed flagship surface (round-3 verdict next-steps #7)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_with_layout_equals_separate_operators(spark):
+    from cpp_paddle_ocr_spark.operators.extract import extract
+    from cpp_paddle_ocr_spark.operators.layout import (
+        detect_regions,
+        extract_tables,
+        extract_with_layout,
+    )
+    from cpp_paddle_ocr_spark.sources.documents import generate_layout_docs
+
+    docs = generate_layout_docs(spark, 24).cache()
+    fused = extract_with_layout(docs).collect()
+    base = {r.url: r for r in extract(docs).collect()}
+    sep_tables: dict[str, list] = {}
+    for r in extract_tables(docs).collect():
+        sep_tables.setdefault(r.url, []).append(
+            (r.table_id, r.start, r.end, r.n_cells, r.structure, r.score)
+        )
+    sep_regions: dict[str, list] = {}
+    for r in detect_regions(docs).collect():
+        sep_regions.setdefault(r.url, []).append(
+            (r.label, r.start, r.end, r.score)
+        )
+    assert len(fused) == 24
+    for row in fused:
+        b = base[row.url]
+        # cascade columns byte-identical to the plain extract operator
+        assert (row.success, row.error, row.n_blocks, row.extracted_text) == (
+            b.success, b.error, b.n_blocks, b.extracted_text
+        ), row.url
+        assert [tuple(s) for s in row.spans] == [tuple(s) for s in b.spans]
+        # layout arrays identical to the standalone fan-out operators
+        got_t = [
+            (t.table_id, t.start, t.end, t.n_cells, t.structure, t.score)
+            for t in row.tables
+        ]
+        assert got_t == sep_tables.get(row.url, []), row.url
+        got_r = [(g.label, g.start, g.end, g.score) for g in row.regions]
+        assert got_r == sep_regions.get(row.url, []), row.url
+    docs.unpersist()
+
+
+def test_extract_with_layout_single_scan_no_shuffle(spark, tmp_path):
+    # the composed operator must keep extract's plan shape: ONE source scan,
+    # no Exchange (shuffle) anywhere
+    from cpp_paddle_ocr_spark.operators.layout import extract_with_layout
+    from cpp_paddle_ocr_spark.sources.documents import generate_layout_docs
+
+    p = str(tmp_path / "ldocs")
+    generate_layout_docs(spark, 8).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = (
+        extract_with_layout(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_extract_with_layout_guard_rows_have_empty_layout(spark):
+    from cpp_paddle_ocr_spark.operators.layout import extract_with_layout
+
+    rows = [
+        ("u-empty", None),
+        ("u-bad", b"\xff\xfe\xff\xff garbage \xff"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r.url: r for r in extract_with_layout(df).collect()}
+    assert not out["u-empty"].success and out["u-empty"].tables == []
+    assert not out["u-bad"].success and out["u-bad"].regions == []

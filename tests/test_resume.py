@@ -105,3 +105,61 @@ def test_single_source_scan_per_job(spark, tmp_path_factory):
     )
     assert acc.value == N, f"source scanned {acc.value / N:.1f}x, expected 1x"
     assert len(_snapshot(spark, out)) == N
+
+
+# ---------------------------------------------------------------------------
+# The Iceberg bucket-spec pruning guard is untestable end-to-end without the
+# runtime jar, but its DESCRIBE-parse is pure Python — pin both branches
+# (round-3 verdict next-steps #6) with canned DESCRIBE rows.
+# ---------------------------------------------------------------------------
+
+
+def _desc_rows(*pairs):
+    from types import SimpleNamespace
+
+    return [SimpleNamespace(col_name=c, data_type=d) for c, d in pairs]
+
+
+def test_bucket_spec_guard_confirms_match():
+    from cpp_paddle_ocr_spark.lineage import verify_bucket_spec
+
+    rows = _desc_rows(
+        ("url", "string"),
+        ("html", "binary"),
+        ("# Partitioning", ""),
+        ("Part 0", "bucket(64, url)"),
+    )
+    assert verify_bucket_spec(rows, "cat.db.docs", 64) is True
+    # whitespace variants still match
+    rows2 = _desc_rows(("Part 0", "bucket( 64 , url )"))
+    assert verify_bucket_spec(rows2, "cat.db.docs", 64) is True
+
+
+def test_bucket_spec_guard_raises_on_mismatch():
+    import pytest
+
+    from cpp_paddle_ocr_spark.lineage import verify_bucket_spec
+
+    rows = _desc_rows(("Part 0", "bucket(32, url)"))
+    with pytest.raises(RuntimeError, match="would not prune"):
+        verify_bucket_spec(rows, "cat.db.docs", 64)
+
+
+def test_bucket_spec_guard_best_effort_on_exotic_shapes():
+    from cpp_paddle_ocr_spark.lineage import verify_bucket_spec
+
+    # no partitioning info at all
+    assert verify_bucket_spec(_desc_rows(("url", "string")), "t", 64) is False
+    # partitioned, but not by bucket(url): days transform
+    rows = _desc_rows(("Part 0", "days(warc_ts)"))
+    assert verify_bucket_spec(rows, "t", 64) is False
+    # rows without a data_type field (exotic catalog DESCRIBE shape)
+    class Odd:
+        pass
+
+    assert verify_bucket_spec([Odd(), Odd()], "t", 64) is False
+    # bucket transform over a different column is not OUR spec
+    rows = _desc_rows(("Part 0", "bucket(64, doc_id)"))
+    assert verify_bucket_spec(rows, "t", 64) is False
+    # empty input
+    assert verify_bucket_spec([], "t", 64) is False
