@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cpp_paddle_ocr_spark.operators import (
+    clustering,
     dedup,
     layout,
     relational,
@@ -180,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
     q.update(layout.QUERIES)
+    q.update(clustering.QUERIES)
     # extraction cascade (fused + staged): full-oracle via the committed
     # golden TSV — the fixture rows are a prefix of the golden set
     q["extract_pages"] = _q_extract_pages
@@ -200,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(dedup.ORACLES)
     o.update(similarity.ORACLES)
     o.update(layout.ORACLES)
+    o.update(clustering.ORACLES)
     o["extract_golden_parity"] = _EXTRACT_GOLDEN_SQL
     o["multimodal_meta"] = _MEDIA_META_SQL
     o["status_windowed"] = _WINDOWED_QUALITY_SQL
