@@ -155,6 +155,146 @@ GROUP BY d.doc_id
 """
 
 
+# --- repetition stats / removal ---------------------------------------------
+#
+# Gopher/RefinedWeb-style repetition filters adapted to token streams: the
+# fraction of mass in the most-frequent bigram, the fraction of trigram
+# mass that is duplicated, and token (unigram) entropy. Boilerplate-heavy
+# or looping generations score high on the first two and low on the third.
+
+#: repetition_filter keep-thresholds (see the filter's docstring)
+REP_MAX_TOP_BIGRAM = 0.10
+REP_MAX_DUP_TRIGRAM = 0.30
+REP_MIN_ENTROPY = 3.0
+
+#: All gram sizes are built from ONE scan and ONE explode: unigrams,
+#: bigrams and trigrams are tagged (sz, gram) structs concatenated into a
+#: single array. ``try_element_at`` past the end yields NULL → ``concat``
+#: yields NULL → the filter drops the partial grams at the tail, so no
+#: branch on size(t) is needed (Spark's ``sequence(1, 0)`` counts DOWN —
+#: the guard is greatest(...,1) + null-filter, not an if()).
+_TAGGED_GRAMS = """
+concat(
+  transform(t, x -> struct(1 as sz, x as gram)),
+  filter(transform(sequence(1, greatest(size(t) - 1, 1)),
+    i -> struct(2 as sz,
+                concat(try_element_at(t, i), ' ',
+                       try_element_at(t, i + 1)) as gram)),
+    g -> g.gram is not null),
+  filter(transform(sequence(1, greatest(size(t) - 2, 1)),
+    i -> struct(3 as sz,
+                concat(try_element_at(t, i), ' ',
+                       try_element_at(t, i + 1), ' ',
+                       try_element_at(t, i + 2)) as gram)),
+    g -> g.gram is not null)
+)
+"""
+
+
+def repetition_stats(df: DataFrame) -> DataFrame:
+    """Per-doc repetition metrics: ``top_bigram_frac`` (mass share of the
+    most frequent bigram), ``dup_trigram_frac`` (share of trigram mass with
+    count > 1), ``token_entropy`` (nats).
+
+    Entropy is computed from aggregables only — ``H = ln(n) − Σc·ln(c)/n``
+    — so the whole operator is two hash aggregations over one explode of
+    one scan; map-side partial combine does most of the work and the only
+    shuffle keys are (doc_id, sz, gram) then doc_id. No joins, no skew
+    exposure (gram keys are per-doc).
+    """
+    grams = (
+        df.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.explode(F.expr(_TAGGED_GRAMS)).alias("g"))
+        .select("doc_id", F.col("g.sz").alias("sz"), F.col("g.gram").alias("gram"))
+    )
+    counted = grams.groupBy("doc_id", "sz", "gram").agg(F.count("*").alias("c"))
+    sz = F.col("sz")
+    c = F.col("c")
+    agg = counted.groupBy("doc_id").agg(
+        F.max(F.when(sz == 2, c)).alias("max_big"),
+        F.sum(F.when(sz == 2, c)).alias("n_big"),
+        F.coalesce(F.sum(F.when((sz == 3) & (c > 1), c)), F.lit(0)).alias(
+            "dup_tri"
+        ),
+        F.sum(F.when(sz == 3, c)).alias("n_tri"),
+        F.sum(F.when(sz == 1, c)).alias("n_tok"),
+        F.sum(F.when(sz == 1, c * F.log(c.cast("double")))).alias("e1"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(F.col("max_big") / F.col("n_big"), 6).alias("top_bigram_frac"),
+        F.round(F.col("dup_tri") / F.col("n_tri"), 6).alias("dup_trigram_frac"),
+        F.round(
+            F.log(F.col("n_tok").cast("double")) - F.col("e1") / F.col("n_tok"),
+            6,
+        ).alias("token_entropy"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS sz, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2, t[i] || ' ' || t[i + 1]
+  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 3, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+  FROM toks, unnest(generate_series(1, len(t) - 2)) g(i)
+  WHERE len(t) >= 3
+),
+counted AS (
+  SELECT doc_id, sz, gram, count(*) AS c FROM grams GROUP BY doc_id, sz, gram
+),
+agg AS (
+  SELECT doc_id,
+         max(CASE WHEN sz = 2 THEN c END) AS max_big,
+         sum(CASE WHEN sz = 2 THEN c END) AS n_big,
+         coalesce(sum(CASE WHEN sz = 3 AND c > 1 THEN c END), 0) AS dup_tri,
+         sum(CASE WHEN sz = 3 THEN c END) AS n_tri,
+         sum(CASE WHEN sz = 1 THEN c END) AS n_tok,
+         sum(CASE WHEN sz = 1 THEN c * ln(c) END) AS e1
+  FROM counted GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       round(max_big / n_big, 6) AS top_bigram_frac,
+       round(dup_tri / n_tri, 6) AS dup_trigram_frac,
+       round(ln(n_tok) - e1 / n_tok, 6) AS token_entropy
+FROM agg
+"""
+
+
+def repetition_filter(
+    df: DataFrame,
+    max_top_bigram: float = REP_MAX_TOP_BIGRAM,
+    max_dup_trigram: float = REP_MAX_DUP_TRIGRAM,
+    min_entropy: float = REP_MIN_ENTROPY,
+) -> DataFrame:
+    """The removal half: documents whose repetition metrics pass the keep
+    thresholds (defaults keep ~2/3 of the fixture corpus — boilerplate-
+    heavy template families fail on top_bigram_frac/dup_trigram_frac).
+    Emits the metrics alongside doc_id so the decision is auditable."""
+    s = repetition_stats(df)
+    return s.filter(
+        (F.col("top_bigram_frac") <= max_top_bigram)
+        & (F.col("dup_trigram_frac") <= max_dup_trigram)
+        & (F.col("token_entropy") >= min_entropy)
+    )
+
+
+REPETITION_FILTER_SQL = f"""
+SELECT * FROM ({REPETITION_SQL})
+WHERE top_bigram_frac <= {REP_MAX_TOP_BIGRAM}
+  AND dup_trigram_frac <= {REP_MAX_DUP_TRIGRAM}
+  AND token_entropy >= {REP_MIN_ENTROPY}
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load(spark, sf_dir, "documents"))
 
@@ -171,11 +311,21 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_filter(load(spark, sf_dir, "documents"))
+
+
 ORACLES = {
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "fingerprint": FINGERPRINT_SQL,
+    "repetition_stats": REPETITION_SQL,
+    "repetition_filter": REPETITION_FILTER_SQL,
 }
 
 QUERIES = {
@@ -183,4 +333,6 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
+    "repetition_stats": q_repetition_stats,
+    "repetition_filter": q_repetition_filter,
 }

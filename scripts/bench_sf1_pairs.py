@@ -1,0 +1,141 @@
+"""Paired sf0.1 ↔ sf1 scaling measurement → BENCH/sf1.json.
+
+One decade of measured input scaling (10x rows per table, gen_sf1.py) for
+every benched operator query plus the extract headline. Methodology per
+BENCH/BASELINE.md: this host's capacity drifts 2x+ on minute scales, so
+isolated per-sf numbers are meaningless — each query runs as interleaved
+(sf0.1, sf1) leg PAIRS within one session, and the statistic is the MEDIAN
+of per-pair time ratios. A ratio ≤ 10 means the decade costs no more than
+the data grew (sublinear/linear); the per-query scaling exponent is
+log10(ratio).
+
+Extract runs 2 pairs (costly); operator queries 3 pairs. Everything shares
+one JVM — within-session pairing controls JIT state and host drift better
+than fresh JVMs would control anything here, and it is the ratio we are
+after, not the absolute time (the absolute headline lives in bench.py).
+
+Usage: python scripts/bench_sf1_pairs.py   (requires .benchdata/sf1 from
+gen_sf1.py and the 20k/200k extract fixtures from prior bench.py runs —
+both are built automatically if absent)
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import statistics
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+from cpp_paddle_ocr_spark.operators import (  # noqa: E402
+    clustering,
+    dedup,
+    relational,
+    similarity,
+    text_analysis,
+)
+from cpp_paddle_ocr_spark.operators.extract import extract  # noqa: E402
+from cpp_paddle_ocr_spark.session import get_spark  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.1"
+SF_BIG = str(ROOT / ".benchdata" / "sf1")
+
+QUERY_SET = [
+    ("dedup_exact", dedup.QUERIES["dedup_exact"]),
+    ("dedup_simhash", dedup.QUERIES["dedup_simhash"]),
+    ("dedup_minhash", dedup.QUERIES["dedup_minhash"]),
+    ("dedup_lsh_pairs", dedup.QUERIES["dedup_lsh_pairs"]),
+    ("dedup_clusters", clustering.QUERIES["dedup_clusters"]),
+    ("sim_cosine_topk", similarity.QUERIES["sim_cosine_topk"]),
+    ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
+    ("sim_ivf_ann", similarity.q_ivf_ann_batched),
+    ("sim_knn_join", similarity.q_knn_join_batched),
+    ("sim_semantic_clusters", clustering.q_semantic_clusters_batched),
+    ("lang_id", text_analysis.QUERIES["lang_id"]),
+    ("quality_score", text_analysis.QUERIES["quality_score"]),
+    ("token_count", text_analysis.QUERIES["token_count"]),
+    ("fingerprint", text_analysis.QUERIES["fingerprint"]),
+    ("status_agg", relational.QUERIES["status_agg"]),
+    ("overlap_iou", relational.QUERIES["overlap_iou"]),
+]
+
+N_PAIRS = 3
+N_EXTRACT_PAIRS = 2
+
+
+def _run(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _extract_leg(spark, fixture: str) -> float:
+    out = str(ROOT / ".benchdata" / "out_pairs")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet(fixture)
+    t0 = time.perf_counter()
+    extract(docs).write.mode("overwrite").parquet(out)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import bench as benchmod
+
+    spark = get_spark(app_name="bench_sf1_pairs")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fix_small = benchmod.ensure_fixture(spark, 20_000)
+    fix_big = benchmod.ensure_fixture(spark, 200_000)
+
+    results: dict[str, dict] = {}
+
+    # warmup: one throwaway leg of each query at sf0.1 (JIT/codegen)
+    for name, fn in QUERY_SET:
+        _run(fn, spark, SF_SMALL)
+
+    for name, fn in QUERY_SET:
+        pairs = []
+        for _ in range(N_PAIRS):
+            t_small = _run(fn, spark, SF_SMALL)
+            t_big = _run(fn, spark, SF_BIG)
+            pairs.append((round(t_small, 3), round(t_big, 3)))
+        ratios = [b / s for s, b in pairs]
+        results[name] = {
+            "pairs_s": pairs,
+            "ratio_median": round(statistics.median(ratios), 3),
+        }
+        print(name, results[name], flush=True)
+
+    pairs = []
+    for _ in range(N_EXTRACT_PAIRS):
+        t_small = _extract_leg(spark, fix_small)
+        t_big = _extract_leg(spark, fix_big)
+        pairs.append((round(t_small, 3), round(t_big, 3)))
+    ratios = [b / s for s, b in pairs]
+    results["extract_pipeline"] = {
+        "pairs_s": pairs,
+        "ratio_median": round(statistics.median(ratios), 3),
+    }
+    print("extract_pipeline", results["extract_pipeline"], flush=True)
+
+    out = {
+        "metric": "sf0.1->sf1 paired wall-time ratio (10x input rows)",
+        "method": (
+            f"interleaved (sf0.1, sf1) leg pairs in one session, median of "
+            f"per-pair ratios; {N_PAIRS} pairs/query, {N_EXTRACT_PAIRS} "
+            f"extract pairs (20k vs 200k docs); warmup leg per query"
+        ),
+        "linear_bound": 10.0,
+        "queries": results,
+    }
+    (ROOT / "BENCH" / "sf1.json").write_text(json.dumps(out, indent=1))
+    print("wrote BENCH/sf1.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

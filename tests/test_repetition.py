@@ -1,0 +1,63 @@
+"""Repetition stats/removal (text_analysis.repetition_*).
+
+Oracle parity for both driver entries runs in test_oracle_parity; here:
+hand-computable fixtures and the degenerate shapes (single token, all-same
+tokens) the fixture corpus never hits.
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from cpp_paddle_ocr_spark.operators.text_analysis import (  # noqa: E402
+    repetition_filter,
+    repetition_stats,
+)
+
+
+def _stats(spark, texts: list[str]) -> dict[int, dict]:
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+
+def test_hand_computed_doc(spark):
+    # "a b a b c": bigrams [a b, b a, a b, b c] → top 2/4; trigrams
+    # [a b a, b a b, a b c] all unique → dup 0; tokens a:2 b:2 c:1 n=5
+    got = _stats(spark, ["a b a b c"])[0]
+    assert got["n_tok"] == 5
+    assert got["top_bigram_frac"] == 0.5
+    assert got["dup_trigram_frac"] == 0.0
+    h = math.log(5) - (2 * math.log(2) + 2 * math.log(2) + 0) / 5
+    assert abs(got["token_entropy"] - round(h, 6)) < 1e-9
+
+
+def test_degenerate_all_same_token(spark):
+    # "x x x x": one distinct bigram/trigram → max repetition, zero entropy
+    got = _stats(spark, ["x x x x"])[0]
+    assert got["top_bigram_frac"] == 1.0
+    assert got["dup_trigram_frac"] == 1.0
+    assert got["token_entropy"] == 0.0
+
+
+def test_single_token_doc(spark):
+    # no bigrams/trigrams exist: fractions are NULL, entropy is 0
+    got = _stats(spark, ["lonely"])[0]
+    assert got["n_tok"] == 1
+    assert got["top_bigram_frac"] is None
+    assert got["dup_trigram_frac"] is None
+    assert got["token_entropy"] == 0.0
+
+
+def test_filter_drops_repetitive_doc(spark):
+    df = spark.createDataFrame(
+        [(0, "spam " * 50), (1, " ".join(f"w{i}" for i in range(50)))],
+        "doc_id bigint, text string",
+    )
+    kept = [r["doc_id"] for r in repetition_filter(df).collect()]
+    assert kept == [1]
