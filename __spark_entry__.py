@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cpp_paddle_ocr_spark.operators import (
     clustering,
+    corpus,
     dedup,
     layout,
     relational,
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.QUERIES)
     q.update(layout.QUERIES)
     q.update(clustering.QUERIES)
+    q.update(corpus.QUERIES)
     # extraction cascade (fused + staged): full-oracle via the committed
     # golden TSV — the fixture rows are a prefix of the golden set
     q["extract_pages"] = _q_extract_pages
@@ -203,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(similarity.ORACLES)
     o.update(layout.ORACLES)
     o.update(clustering.ORACLES)
+    o.update(corpus.ORACLES)
     o["extract_golden_parity"] = _EXTRACT_GOLDEN_SQL
     o["multimodal_meta"] = _MEDIA_META_SQL
     o["status_windowed"] = _WINDOWED_QUALITY_SQL

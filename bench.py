@@ -29,6 +29,7 @@ sys.path.insert(0, str(ROOT))
 
 from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     clustering,
+    corpus,
     dedup,
     layout,
     relational,
@@ -118,6 +119,8 @@ def main() -> None:
         # cluster resolution: verified pairs → connected components
         ("dedup_clusters", clustering.QUERIES["dedup_clusters"]),
         ("sim_semantic_clusters", clustering.q_semantic_clusters_batched),
+        ("corpus_keep", corpus.QUERIES["corpus_keep"]),
+        ("repetition_stats", text_analysis.QUERIES["repetition_stats"]),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),

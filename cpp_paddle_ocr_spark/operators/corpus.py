@@ -1,0 +1,113 @@
+"""End-to-end training-corpus curation: the composed keep-pipeline.
+
+One operator that chains the engine's curation stages the way a real
+pretraining-data pipeline does — language gate → quality gate →
+repetition gate → near-dup keep-one — and emits the surviving corpus with
+every gating metric attached, so each keep/drop decision is auditable.
+
+    corpus_keep(documents) =
+        lang_id == 'en'
+      ∧ quality ≥ MIN_QUALITY
+      ∧ repetition thresholds (text_analysis.repetition_filter)
+      ∧ dedup_clusters.is_canonical (cluster-min keep-one)
+
+Scale notes (100 TB view): the pipeline costs exactly the scans its
+aggregation structure forces and no more —
+* language + quality are BOTH pure projections, fused here into ONE
+  select over one scan (``lang_cols()`` + ``quality_cols()``);
+* repetition is one explode + two hash aggregations (its own scan);
+* cluster labels are the dedup_clusters machinery (signature scan + band
+  join + CC iterations);
+* the three per-doc outputs then hash-join on doc_id — uniform 8-byte
+  keys, no skew. Filters are applied on the metric columns AFTER the
+  join so Catalyst pushes the cheap projection gates (lang/quality) below
+  the join while the aggregate-derived gates stay put.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .clustering import DEDUP_CLUSTERS_SQL, dedup_clusters
+from .common import load
+from .text_analysis import (
+    LANG_ID_SQL,
+    QUALITY_SQL,
+    REP_MAX_DUP_TRIGRAM,
+    REP_MAX_TOP_BIGRAM,
+    REP_MIN_ENTROPY,
+    REPETITION_SQL,
+    lang_cols,
+    quality_cols,
+    repetition_stats,
+)
+
+KEEP_LANG = "en"
+MIN_QUALITY = 0.4
+
+
+def corpus_keep(
+    df: DataFrame,
+    lang: str = KEEP_LANG,
+    min_quality: float = MIN_QUALITY,
+) -> DataFrame:
+    """The surviving corpus with audit columns: ``(doc_id, pred_lang,
+    quality, top_bigram_frac, dup_trigram_frac, token_entropy,
+    cluster_id)`` — rows passing all four gates."""
+    metrics = df.select("doc_id", *lang_cols(), *quality_cols())
+    rep = repetition_stats(df)
+    clusters = dedup_clusters(df)
+    return (
+        metrics.join(rep, "doc_id")
+        .join(clusters, "doc_id")
+        .filter(
+            (F.col("pred_lang") == lang)
+            & (F.col("quality") >= min_quality)
+            & (F.col("top_bigram_frac") <= REP_MAX_TOP_BIGRAM)
+            & (F.col("dup_trigram_frac") <= REP_MAX_DUP_TRIGRAM)
+            & (F.col("token_entropy") >= REP_MIN_ENTROPY)
+            & (F.col("is_canonical") == 1)
+        )
+        .select(
+            "doc_id",
+            "pred_lang",
+            "quality",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+            "token_entropy",
+            "cluster_id",
+        )
+    )
+
+
+# DEDUP_CLUSTERS_SQL is a complete WITH RECURSIVE query; the other stage
+# oracles are plain queries — each embeds as a parenthesized subquery, so
+# this composition reuses the exact SQL the per-stage oracles are checked
+# against (one divergence source, not four).
+CORPUS_KEEP_SQL = f"""
+WITH labels AS (SELECT * FROM ({DEDUP_CLUSTERS_SQL})),
+lg AS (SELECT * FROM ({LANG_ID_SQL})),
+q AS (SELECT * FROM ({QUALITY_SQL})),
+rep AS (SELECT * FROM ({REPETITION_SQL}))
+SELECT d.doc_id, lg.pred_lang, q.quality, rep.top_bigram_frac,
+       rep.dup_trigram_frac, rep.token_entropy, l.cluster_id
+FROM documents d
+JOIN lg ON lg.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+JOIN labels l ON l.doc_id = d.doc_id
+WHERE lg.pred_lang = '{KEEP_LANG}'
+  AND q.quality >= {MIN_QUALITY}
+  AND rep.top_bigram_frac <= {REP_MAX_TOP_BIGRAM}
+  AND rep.dup_trigram_frac <= {REP_MAX_DUP_TRIGRAM}
+  AND rep.token_entropy >= {REP_MIN_ENTROPY}
+  AND l.is_canonical = 1
+"""
+
+
+def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_keep(load(spark, sf_dir, "documents"))
+
+
+QUERIES = {"corpus_keep": q_corpus_keep}
+ORACLES = {"corpus_keep": CORPUS_KEEP_SQL}

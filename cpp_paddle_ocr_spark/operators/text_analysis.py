@@ -27,21 +27,26 @@ def _arr_lit(values: list[str]):
     return F.array(*[F.lit(v) for v in values])
 
 
-def lang_id(df: DataFrame) -> DataFrame:
-    """n-gram/stopword-heuristic language ID: count distinct stopword hits
-    per language, argmax with a fixed tie rule (en beats de on ties)."""
+def lang_cols() -> list:
+    """Language-ID projection columns (shared with the fused corpus
+    pipeline so composition costs zero extra scans)."""
     toks = tokens(F.lower(F.col("text")))
     en = F.size(F.array_intersect(toks, _arr_lit(EN_STOPS)))
     de = F.size(F.array_intersect(toks, _arr_lit(DE_STOPS)))
-    return df.select(
-        "doc_id",
+    return [
         en.alias("en_hits"),
         de.alias("de_hits"),
         F.when(en + de == 0, F.lit("und"))
         .when(en >= de, F.lit("en"))
         .otherwise(F.lit("de"))
         .alias("pred_lang"),
-    )
+    ]
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """n-gram/stopword-heuristic language ID: count distinct stopword hits
+    per language, argmax with a fixed tie rule (en beats de on ties)."""
+    return df.select("doc_id", *lang_cols())
 
 
 LANG_ID_SQL = f"""
@@ -60,12 +65,9 @@ FROM documents
 """
 
 
-def quality_score(df: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword ratios → composite quality score.
-
-    All ratios are exact integer divisions promoted to double, so the
-    composite rounds identically in both engines.
-    """
+def quality_cols() -> list:
+    """Quality-score projection columns (shared with the fused corpus
+    pipeline so composition costs zero extra scans)."""
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
     n_chars = F.length("text")
@@ -76,15 +78,23 @@ def quality_score(df: DataFrame) -> DataFrame:
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    return df.select(
-        "doc_id",
+    return [
         n_tok.alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(
             0.5 * len_score + 0.3 * stop_ratio + 0.2 * (1.0 - punct_ratio), 6
         ).alias("quality"),
-    )
+    ]
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword ratios → composite quality score.
+
+    All ratios are exact integer divisions promoted to double, so the
+    composite rounds identically in both engines.
+    """
+    return df.select("doc_id", *quality_cols())
 
 
 QUALITY_SQL = f"""
