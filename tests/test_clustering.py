@@ -85,6 +85,21 @@ def test_cc_nonconvergence_raises(spark):
         connected_components(df, max_iter=2)
 
 
+def test_cc_random_graphs_match_union_find(spark):
+    # seeded random graphs spanning the shapes hash-min must handle:
+    # sparse chains (long diameter), dense blobs, many tiny components
+    import random
+
+    rng = random.Random(4242)
+    for n_nodes, n_edges in [(40, 20), (60, 120), (200, 80)]:
+        nodes = rng.sample(range(10_000), n_nodes)
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc_dict(spark, edges) == _union_find(edges)
+
+
 def test_dedup_clusters_covers_every_doc_once(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = dedup_clusters(docs)
