@@ -454,12 +454,15 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 65536, real: bool = False) 
         raise NotImplementedError("real frame sampling needs ffmpeg")
     # ceil(len / n) via (len-1)/n + 1, guarded for len == 0 (one empty
     # frame row keeps the fan-out shape): the old floor(len/n)+1 emitted a
-    # past-the-end frame with an empty header for exact-multiple lengths
+    # past-the-end frame with an empty header for exact-multiple lengths.
+    # NULL media emits NO rows (greatest() skips NULLs, so without the
+    # explicit filter a NULL row would leak through as a phantom frame)
     n_frames = (
         F.greatest(F.length("media") - 1, F.lit(0)) / F.lit(every_n_bytes)
     ).cast("int") + 1
     return (
-        df.select("url", "media", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
+        df.filter(F.col("media").isNotNull())
+        .select("url", "media", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
         .select(
             "url",
             "frame_idx",

@@ -337,13 +337,20 @@ def _ivf_topk_batched(df: DataFrame, query_vec_id: int, k: int) -> DataFrame:
     NPROBE probe lists become literal filter values on the scan (a
     partition-prune-shaped ``isin``, no join at all), and list assignment
     for the table is the batched matmul UDF evaluated exactly once."""
+    # NOTE: the query row resolves at PLAN-CONSTRUCTION time (one Spark
+    # job) — the documented broadcast-side shape of this operator. A
+    # missing query_vec_id yields an empty result with the right schema,
+    # matching the lazy assign="fold" path's behavior.
     qrow = (
         df.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").cast("array<double>").alias("emb"))
         .head()
     )
     if qrow is None:
-        raise ValueError(f"query_vec_id {query_vec_id} not in table")
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "vec_id bigint, list_id int, cosine double"
+        )
     qemb = np.asarray(qrow.emb, dtype=np.float64)
     qscores = qemb @ _centroid_matrix()
     order = sorted(range(N_CENTROIDS), key=lambda j: (-qscores[j], j))
@@ -505,9 +512,31 @@ _KNN_SCHEMA = (
 
 
 def _round_half_up_6(x):
-    """Spark's F.round is HALF_UP (away from zero); numpy rounds half to
-    even — match Spark/DuckDB so engines agree at the 6-dp boundary."""
-    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+    """Spark's F.round is HALF_UP over the double's SHORTEST DECIMAL
+    representation (BigDecimal.valueOf == Double.toString), not over the
+    exact binary value. The vectorized floor(|x|·1e6 + 0.5) form agrees
+    except when x·1e6 sits within one ulp-ish of a .5 boundary (where the
+    shortest repr can land on the other side). Hybrid: numpy fast path,
+    then re-round only boundary-adjacent values through Python's repr()
+    (also shortest-repr) + Decimal HALF_UP — exact Spark parity at the
+    cost of a Python loop over a measure-tiny subset."""
+    x = np.asarray(x, dtype=np.float64)
+    fast = np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+    frac = np.abs(x) * 1e6
+    near = np.abs(frac - np.floor(frac) - 0.5) < 1e-9
+    if near.any():
+        import decimal
+
+        q = decimal.Decimal("0.000001")
+        flat = fast.ravel()
+        xf = x.ravel()
+        for i in np.flatnonzero(near.ravel()):
+            flat[i] = float(
+                decimal.Decimal(repr(float(xf[i]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+    return fast
 
 
 def _knn_group_fn(k: int, bucket_cap: int):

@@ -90,6 +90,10 @@ def main() -> None:
 
     fix_small = benchmod.ensure_fixture(spark, 20_000)
     fix_big = benchmod.ensure_fixture(spark, 200_000)
+    if not pathlib.Path(SF_BIG, "documents.parquet", "_SUCCESS").exists():
+        import gen_sf1
+
+        gen_sf1.generate_sf1(spark)
 
     results: dict[str, dict] = {}
 

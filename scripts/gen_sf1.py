@@ -117,10 +117,9 @@ def scale_events(spark, copies: int) -> DataFrame:
     return out
 
 
-def main() -> None:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    spark = get_spark(app_name="gen_sf1")
-    spark.sparkContext.setLogLevel("ERROR")
+def generate_sf1(spark, copies: int = 10) -> None:
+    """Write the sf1 tables under .benchdata/sf1 using an existing
+    session (also called from bench_sf1_pairs when the dir is absent)."""
     DST.mkdir(parents=True, exist_ok=True)
     scale_documents(spark, copies).repartition(32).write.mode("overwrite").parquet(
         str(DST / "documents.parquet")
@@ -131,6 +130,13 @@ def main() -> None:
     scale_events(spark, copies).repartition(32).write.mode("overwrite").parquet(
         str(DST / "events.parquet")
     )
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="gen_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_sf1(spark, copies)
     for t in ("documents", "embeddings", "events"):
         n = spark.read.parquet(str(DST / f"{t}.parquet")).count()
         print(t, n)

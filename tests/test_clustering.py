@@ -76,6 +76,14 @@ def test_cc_empty_edges(spark):
     assert connected_components(df).count() == 0
 
 
+def test_cc_long_chain_converges_by_pointer_jumping(spark):
+    # path graph of diameter 39: plain hash-min would need 40 rounds and
+    # trip max_iter=25; the comp(comp) shortcut converges in O(log d)
+    edges = [(i, i + 1) for i in range(40)]
+    got = _cc_dict(spark, edges)
+    assert got == {i: 0 for i in range(41)}
+
+
 def test_cc_nonconvergence_raises(spark):
     # chain of diameter 3 needs 3 propagation rounds; 2 must raise
     df = spark.createDataFrame(

@@ -436,3 +436,14 @@ def test_real_png_pixel_features_end_to_end(spark):
     for url, blob in blobs:
         exp = bmp_features(decode_png_pixels(blob))
         assert np.allclose(got[url], exp), url
+
+
+def test_frame_sample_null_media_emits_no_rows(spark):
+    # greatest() skips NULLs, so without the explicit filter a NULL media
+    # row would leak a phantom (frame_idx=0, header NULL) frame
+    df = spark.createDataFrame(
+        [("has", b"x" * 10), ("null", None)], "url string, media binary"
+    )
+    out = frame_sample(df, every_n_bytes=1024)
+    urls = [r["url"] for r in out.collect()]
+    assert urls == ["has"]

@@ -240,3 +240,47 @@ def test_ivf_topk_batched_plan_has_no_join(spark, embeddings):
 
     plan = ivf_topk(embeddings)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_ivf_topk_missing_query_id_empty_both_engines(spark, embeddings):
+    from cpp_paddle_ocr_spark.operators.similarity import ivf_topk
+
+    for assign in ("batched", "fold"):
+        out = ivf_topk(embeddings, query_vec_id=10_000_000, assign=assign)
+        assert out.count() == 0, assign
+        assert [f.name for f in out.schema.fields] == [
+            "vec_id", "list_id", "cosine",
+        ], assign
+
+
+def test_round_half_up_6_matches_shortest_repr_decimal():
+    """The gold semantics (Spark F.round == BigDecimal.valueOf HALF_UP ==
+    Decimal(repr(x)) HALF_UP) must hold INCLUDING at representation
+    boundaries where the vectorized floor(|x|*1e6+0.5) form can land on
+    the wrong side."""
+    import decimal
+
+    import numpy as np
+
+    from cpp_paddle_ocr_spark.operators.similarity import _round_half_up_6
+
+    q = decimal.Decimal("0.000001")
+
+    def gold(v: float) -> float:
+        return float(
+            decimal.Decimal(repr(v)).quantize(
+                q, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    # boundary-adjacent doubles (nearest doubles to k.5e-6 values) plus a
+    # deterministic sweep of ordinary values
+    vals = [0.1234565, -0.1234565, 0.9999995, -0.9999995, 0.0000005]
+    vals += [np.nextafter(v, 0.0) for v in vals]
+    vals += [np.nextafter(v, 1.0) for v in vals[:5]]
+    rng = np.random.default_rng(7)
+    vals += list(rng.uniform(-1, 1, 500))
+    arr = np.asarray(vals, dtype=np.float64)
+    got = _round_half_up_6(arr)
+    for v, g in zip(vals, got):
+        assert g == gold(float(v)), (v, g, gold(float(v)))
