@@ -82,3 +82,33 @@ def test_media_meta_adds_no_shuffle(spark, tmp_path_factory):
     generate_media(spark, 30).write.parquet(p)
     plan = plan_of(decode_media_meta(spark.read.parquet(p), real=True))
     assert "Exchange" not in plan
+
+
+def test_dedup_clusters_no_cartesian(spark):
+    from cpp_paddle_ocr_spark.operators import clustering
+
+    plan = plan_of(clustering.QUERIES["dedup_clusters"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the LSH self-join keys on band_key and the verify/label joins key on
+    # doc ids - every join must be an equi-join (hash or sort-merge)
+    assert "Join" in plan
+
+
+def test_corpus_keep_no_cartesian_and_prunes_scan(spark):
+    from cpp_paddle_ocr_spark.operators import corpus
+
+    plan = plan_of(corpus.QUERIES["corpus_keep"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the metric projections must not drag unused columns off the scan
+    for col in ("source",):
+        assert f", {col}" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_knn_join_batched_single_shuffle(spark):
+    from cpp_paddle_ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(similarity.knn_join(emb))
+    # one groupBy-bucket shuffle into applyInPandas; no join at all
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
