@@ -121,6 +121,7 @@ def main() -> None:
         ("sim_semantic_clusters", clustering.q_semantic_clusters_batched),
         ("corpus_keep", corpus.QUERIES["corpus_keep"]),
         ("repetition_stats", text_analysis.QUERIES["repetition_stats"]),
+        ("chunk_documents", text_analysis.QUERIES["chunk_documents"]),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),

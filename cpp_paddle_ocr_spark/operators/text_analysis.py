@@ -321,12 +321,108 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load(spark, sf_dir, "documents"))
 
 
+# --- chunking + deterministic sampling ---------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the tokenize-for-training step. One output row per chunk:
+    ``(doc_id, chunk_idx, tok_start, n_chunk_tokens, chunk_text)``.
+
+    Stride = chunk_tokens − overlap; the final chunk is the remainder
+    (shorter, never empty); docs with ≤ chunk_tokens tokens yield exactly
+    one chunk. Pure JVM expression work (slice over the token array +
+    posexplode) — a per-row map with bounded fan-out, scan-shaped at any
+    scale, no shuffle.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    # chunk starts: 0, stride, 2·stride, … — n_chunks = ceil((n − overlap)
+    # / stride), at least 1 (so a short/empty doc still yields one chunk)
+    starts = (
+        f"transform(sequence(0, greatest(cast(ceil((size(t) - {overlap}) "
+        f"/ {stride}) as int) - 1, 0)), i -> i * {stride})"
+    )
+    chunked = df.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.posexplode(F.expr(starts)).alias("chunk_idx", "tok_start"),
+    )
+    piece = F.slice(F.col("t"), F.col("tok_start") + 1, chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "tok_start",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, t,
+         CAST(g.i AS INT) AS chunk_idx,
+         CAST(g.i * {CHUNK_TOKENS - CHUNK_OVERLAP} AS INT) AS tok_start
+  FROM toks,
+       unnest(generate_series(0,
+         greatest(CAST(ceil((len(t) - {CHUNK_OVERLAP})
+                 / {CHUNK_TOKENS - CHUNK_OVERLAP}.0) AS INT) - 1, 0))) g(i)
+)
+SELECT doc_id, chunk_idx, tok_start,
+       len(t[tok_start + 1 : tok_start + {CHUNK_TOKENS}]) AS n_chunk_tokens,
+       array_to_string(t[tok_start + 1 : tok_start + {CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM chunks
+"""
+
+SAMPLE_PCT = 10
+
+
+def hash_sample(df: DataFrame, pct: int = SAMPLE_PCT) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5(doc_id) bucket
+    falls under ``pct`` of 100. THE at-scale sampling method — stable
+    across runs/engines/partitionings (no RNG state, no seed plumbing),
+    stratifiable by construction (the kept set of a 10% sample is a
+    superset of the 5% sample), and exactly reproducible in any engine
+    that has md5 — unlike ``df.sample``, whose per-partition RNG draws
+    change with the partitioning."""
+    bucket = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(100))
+    return df.select("doc_id", "lang", "n_chars").filter(bucket < pct)
+
+
+HASH_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {h60_sql('CAST(doc_id AS VARCHAR)')} % 100 < {SAMPLE_PCT}
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load(spark, sf_dir, "documents"))
 
 
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_filter(load(spark, sf_dir, "documents"))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_sample(load(spark, sf_dir, "documents"))
 
 
 ORACLES = {
@@ -336,6 +432,8 @@ ORACLES = {
     "fingerprint": FINGERPRINT_SQL,
     "repetition_stats": REPETITION_SQL,
     "repetition_filter": REPETITION_FILTER_SQL,
+    "chunk_documents": CHUNK_SQL,
+    "hash_sample": HASH_SAMPLE_SQL,
 }
 
 QUERIES = {
@@ -345,4 +443,6 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "repetition_stats": q_repetition_stats,
     "repetition_filter": q_repetition_filter,
+    "chunk_documents": q_chunk_documents,
+    "hash_sample": q_hash_sample,
 }

@@ -61,3 +61,48 @@ def test_filter_drops_repetitive_doc(spark):
     )
     kept = [r["doc_id"] for r in repetition_filter(df).collect()]
     assert kept == [1]
+
+
+def test_chunk_documents_contract(spark):
+    from cpp_paddle_ocr_spark.operators.text_analysis import chunk_documents
+
+    # 80 tokens, chunk 32 overlap 8 -> starts 0,24,48: the chunk at 48
+    # spans tokens 48..79, so ceil((n-overlap)/stride)=3 chunks cover all
+    text = " ".join(f"w{i}" for i in range(80))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_documents(df).collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert [r["tok_start"] for r in rows] == [0, 24, 48]
+    assert [r["n_chunk_tokens"] for r in rows] == [32, 32, 32]
+    # consecutive chunks overlap by 8 tokens
+    first = rows[0]["chunk_text"].split()
+    second = rows[1]["chunk_text"].split()
+    assert first[24:] == second[:8]
+    # every token is covered
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk_text"].split())
+    assert len(covered) == 80
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from cpp_paddle_ocr_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    rows = chunk_documents(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_chunk_tokens"] == 3
+    assert rows[0]["chunk_text"] == "a b c"
+
+
+def test_hash_sample_is_nested_and_deterministic(spark):
+    from cpp_paddle_ocr_spark.operators.text_analysis import hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p5 = {r["doc_id"] for r in hash_sample(docs, 5).collect()}
+    p10 = {r["doc_id"] for r in hash_sample(docs, 10).collect()}
+    p10_again = {r["doc_id"] for r in hash_sample(docs, 10).collect()}
+    assert p5 <= p10            # nested: 5% sample is inside the 10%
+    assert p10 == p10_again     # deterministic across runs
+    assert 0 < len(p10) < docs.count()
