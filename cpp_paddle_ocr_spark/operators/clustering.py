@@ -31,9 +31,11 @@ Scale notes (100 TB view):
 * The giant-component hazard (one spam template duplicated 10^8 times) is
   bounded upstream: the pair generators' anchor-star caps keep per-key
   pair output O(k), and hash-min over a star converges in 2 rounds with
-  the anchor's id as the label — no single-key hotspot is created by the
-  components step itself (labels shuffle-partition by node id, not by
-  cluster id).
+  the anchor's id as the label. The first CC_JUMP_AFTER rounds key every
+  shuffle by NODE id (no single hot key even for a giant component); the
+  pointer-jump rounds that follow DO key a join by comp label, but only
+  engage for slow-converging thin-chain graphs, with AQE skew-join as the
+  backstop — see ``connected_components``.
 * Convergence check is a single ``count`` aggregate per round (changed
   labels), never a ``collect`` of labels.
 """
@@ -47,6 +49,8 @@ from .dedup import BAND_KEY_CAP, LSH_SQL, lsh_candidate_pairs
 from .similarity import KNN_JOIN_SQL, knn_join
 
 CC_MAX_ITER = 25
+#: rounds of skew-free neighbor-min before the pointer-jump engages
+CC_JUMP_AFTER = 3
 
 
 def connected_components(
@@ -62,13 +66,19 @@ def connected_components(
     ``edges`` (singletons) are simply absent — callers re-attach them with
     a left join + coalesce (see ``dedup_clusters``).
 
-    Each round combines neighbor-min propagation with a pointer-jumping
-    shortcut (``comp ← comp(comp)``), so convergence is O(log diameter)
-    rounds, not O(diameter) — a 30-link chain of incrementally-edited
-    near-dup pages (a path graph the band caps do NOT bound, since they
-    only cap per-key fan-out) converges in ~6 rounds instead of 31.
-    ``max_iter`` of 25 therefore covers diameters beyond 2^20; hitting it
-    still raises ``RuntimeError`` as a safety net.
+    Rounds 1..JUMP_AFTER are plain neighbor-min propagation — every join
+    keys on NODE id, so a giant duplicate component creates no hot shuffle
+    key, and the clique/star graphs the capped pair generators emit
+    converge here (≤3 rounds). If convergence hasn't happened by then the
+    graph has thin chains (a 30-link path of incrementally-edited pages —
+    a shape the band caps do NOT bound), and later rounds add a
+    pointer-jumping shortcut (``comp ← comp(comp)``) for O(log diameter)
+    total rounds. The jump's hop join keys on the comp LABEL, which IS
+    skewed for huge components — but huge components are exactly the ones
+    that already converged before the jump engages, and AQE skew-join
+    (on in session.py) backstops the residual case. ``max_iter`` of 25
+    therefore covers diameters beyond 2^20; hitting it still raises
+    ``RuntimeError`` as a safety net.
     """
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = sym.unionByName(
@@ -80,7 +90,7 @@ def connected_components(
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         prop = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
@@ -93,23 +103,31 @@ def connected_components(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
             ).alias("comp"),
         )
-        # pointer jumping: a label is itself a node id in the same
-        # component, so looking its label up and taking the min halves
-        # the remaining distance to the component min every round
-        hop = stepped.select("id", F.col("comp").alias("hop_comp")).alias("h")
-        merged = (
-            stepped.alias("s")
-            .join(hop, F.col("s.comp") == F.col("h.id"), "left")
-            .select(
-                F.col("s.id").alias("id"),
-                F.col("s.old_comp").alias("old_comp"),
-                F.least(
-                    F.col("s.comp"),
-                    F.coalesce(F.col("h.hop_comp"), F.col("s.comp")),
-                ).alias("comp"),
+        if rnd < CC_JUMP_AFTER:
+            merged = stepped.localCheckpoint(eager=True)
+        else:
+            # pointer jumping: a label is itself a node id in the same
+            # component, so looking its label up and taking the min halves
+            # the remaining distance to the component min every round.
+            # stepped is checkpointed FIRST so the neighbor-propagation
+            # subplan isn't recomputed for both sides of the self-join.
+            stepped = stepped.localCheckpoint(eager=True)
+            hop = stepped.select(
+                "id", F.col("comp").alias("hop_comp")
+            ).alias("h")
+            merged = (
+                stepped.alias("s")
+                .join(hop, F.col("s.comp") == F.col("h.id"), "left")
+                .select(
+                    F.col("s.id").alias("id"),
+                    F.col("s.old_comp").alias("old_comp"),
+                    F.least(
+                        F.col("s.comp"),
+                        F.coalesce(F.col("h.hop_comp"), F.col("s.comp")),
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
         changed = merged.filter(F.col("comp") < F.col("old_comp")).count()
         labels = merged.select("id", "comp")
         if changed == 0:

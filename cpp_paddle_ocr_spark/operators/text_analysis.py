@@ -351,7 +351,10 @@ def chunk_documents(
         f"transform(sequence(0, greatest(cast(ceil((size(t) - {overlap}) "
         f"/ {stride}) as int) - 1, 0)), i -> i * {stride})"
     )
-    chunked = df.select(
+    # NULL text emits no rows in BOTH engines (same NULL-through-greatest
+    # hazard class as frame_sample: Spark would yield chunk_text='' where
+    # DuckDB yields NULL — an oracle mismatch on any NULL-text row)
+    chunked = df.filter(F.col("text").isNotNull()).select(
         "doc_id", tokens(F.col("text")).alias("t")
     ).select(
         "doc_id",
@@ -371,6 +374,7 @@ def chunk_documents(
 CHUNK_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+  WHERE text IS NOT NULL
 ),
 chunks AS (
   SELECT doc_id, t,

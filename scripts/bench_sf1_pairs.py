@@ -90,7 +90,12 @@ def main() -> None:
 
     fix_small = benchmod.ensure_fixture(spark, 20_000)
     fix_big = benchmod.ensure_fixture(spark, 200_000)
-    if not pathlib.Path(SF_BIG, "documents.parquet", "_SUCCESS").exists():
+    # all three markers: a partially generated dir (interrupted gen_sf1)
+    # must be repaired, not trusted 45 minutes into the measurement loop
+    if not all(
+        pathlib.Path(SF_BIG, f"{t}.parquet", "_SUCCESS").exists()
+        for t in ("documents", "embeddings", "events")
+    ):
         import gen_sf1
 
         gen_sf1.generate_sf1(spark)

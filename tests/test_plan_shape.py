@@ -99,9 +99,14 @@ def test_corpus_keep_no_cartesian_and_prunes_scan(spark):
 
     plan = plan_of(corpus.QUERIES["corpus_keep"](spark, SF))
     assert "CartesianProduct" not in plan
-    # the metric projections must not drag unused columns off the scan
-    for col in ("source",):
-        assert f", {col}" not in plan.split("ReadSchema:")[1].splitlines()[0]
+    # the metric projections must not drag unused columns off ANY of the
+    # documents scans (schemas render space-free: struct<doc_id:bigint,...>)
+    read_schemas = [
+        part.splitlines()[0] for part in plan.split("ReadSchema:")[1:]
+    ]
+    assert read_schemas, "no ReadSchema in plan"
+    for rs in read_schemas:
+        assert "source" not in rs, rs
 
 
 def test_knn_join_batched_single_shuffle(spark):

@@ -106,3 +106,12 @@ def test_hash_sample_is_nested_and_deterministic(spark):
     assert p5 <= p10            # nested: 5% sample is inside the 10%
     assert p10 == p10_again     # deterministic across runs
     assert 0 < len(p10) < docs.count()
+
+
+def test_chunk_documents_null_text_no_rows(spark):
+    from cpp_paddle_ocr_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id bigint, text string"
+    )
+    assert [r["doc_id"] for r in chunk_documents(df).collect()] == [1]
