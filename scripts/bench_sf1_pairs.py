@@ -33,6 +33,7 @@ sys.path.insert(0, str(ROOT))
 
 from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     clustering,
+    corpus,
     dedup,
     relational,
     similarity,
@@ -44,6 +45,7 @@ from cpp_paddle_ocr_spark.session import get_spark  # noqa: E402
 SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = str(ROOT / ".benchdata" / "sf1")
 
+#: pass query names as argv to run a subset (results merge into sf1.json)
 QUERY_SET = [
     ("dedup_exact", dedup.QUERIES["dedup_exact"]),
     ("dedup_simhash", dedup.QUERIES["dedup_simhash"]),
@@ -59,6 +61,10 @@ QUERY_SET = [
     ("quality_score", text_analysis.QUERIES["quality_score"]),
     ("token_count", text_analysis.QUERIES["token_count"]),
     ("fingerprint", text_analysis.QUERIES["fingerprint"]),
+    ("corpus_keep", corpus.QUERIES["corpus_keep"]),
+    ("repetition_stats", text_analysis.QUERIES["repetition_stats"]),
+    ("chunk_documents", text_analysis.QUERIES["chunk_documents"]),
+    ("hash_sample", text_analysis.QUERIES["hash_sample"]),
     ("status_agg", relational.QUERIES["status_agg"]),
     ("overlap_iou", relational.QUERIES["overlap_iou"]),
 ]
@@ -85,6 +91,11 @@ def _extract_leg(spark, fixture: str) -> float:
 def main() -> None:
     import bench as benchmod
 
+    subset = set(sys.argv[1:])
+    query_set = (
+        [(n, f) for n, f in QUERY_SET if n in subset] if subset else QUERY_SET
+    )
+
     spark = get_spark(app_name="bench_sf1_pairs")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -103,10 +114,10 @@ def main() -> None:
     results: dict[str, dict] = {}
 
     # warmup: one throwaway leg of each query at sf0.1 (JIT/codegen)
-    for name, fn in QUERY_SET:
+    for name, fn in query_set:
         _run(fn, spark, SF_SMALL)
 
-    for name, fn in QUERY_SET:
+    for name, fn in query_set:
         pairs = []
         for _ in range(N_PAIRS):
             t_small = _run(fn, spark, SF_SMALL)
@@ -120,17 +131,23 @@ def main() -> None:
         print(name, results[name], flush=True)
 
     pairs = []
-    for _ in range(N_EXTRACT_PAIRS):
+    for _ in range(N_EXTRACT_PAIRS if not subset else 0):
         t_small = _extract_leg(spark, fix_small)
         t_big = _extract_leg(spark, fix_big)
         pairs.append((round(t_small, 3), round(t_big, 3)))
-    ratios = [b / s for s, b in pairs]
-    results["extract_pipeline"] = {
-        "pairs_s": pairs,
-        "ratio_median": round(statistics.median(ratios), 3),
-    }
-    print("extract_pipeline", results["extract_pipeline"], flush=True)
+    if pairs:
+        ratios = [b / s for s, b in pairs]
+        results["extract_pipeline"] = {
+            "pairs_s": pairs,
+            "ratio_median": round(statistics.median(ratios), 3),
+        }
+        print("extract_pipeline", results["extract_pipeline"], flush=True)
 
+    target = ROOT / "BENCH" / "sf1.json"
+    if subset and target.exists():
+        prior = json.loads(target.read_text())
+        prior["queries"].update(results)
+        results = prior["queries"]
     out = {
         "metric": "sf0.1->sf1 paired wall-time ratio (10x input rows)",
         "method": (
