@@ -26,13 +26,11 @@ with md5(text) instead of url as the identity.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.corpus import KEEP_LANG, MIN_QUALITY
 from ..operators.text_analysis import lang_cols, quality_cols
+from .stateful import first_seen_stream
 
 CURATED_SCHEMA = T.StructType(
     [
@@ -44,21 +42,21 @@ CURATED_SCHEMA = T.StructType(
     ]
 )
 
-_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType(), False)])
-
-
 def curate_stream(
     stream_df: DataFrame,
-    lang: str = "en",
-    min_quality: float = 0.4,
+    lang: str = KEEP_LANG,
+    min_quality: float = MIN_QUALITY,
     ttl_ms: int | None = None,
 ) -> DataFrame:
     """Pages stream → curated, fingerprint-deduplicated text stream.
 
     Output: one row per FIRST sighting of each distinct extracted text
     that passes the gates — ``(url, text, pred_lang, quality, fp)``.
-    ``ttl_ms`` bounds the dedup state store exactly as in
-    ``stateful.dedup_stream``.
+    Gate defaults are IMPORTED from the batch ``corpus_keep`` constants so
+    retuning the batch pipeline retunes the stream with it. ``ttl_ms``
+    bounds the dedup state store exactly as in ``stateful.dedup_stream``
+    (both are instantiations of ``first_seen_stream`` — one state
+    machine, two keys).
     """
     from .ingest import extract_stream
 
@@ -78,34 +76,10 @@ def curate_stream(
             F.md5(F.col("text")).alias("fp"),
         )
     )
-
-    def first_seen(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
-        seen = state.get[0] if state.exists else 0
-        first_row = None
-        for pdf in pdfs:
-            if first_row is None and len(pdf) and seen == 0:
-                first_row = pdf.iloc[[0]].copy()
-            seen += len(pdf)
-        state.update((seen,))
-        if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
-        if first_row is not None:
-            yield first_row[["url", "text", "pred_lang", "quality", "fp"]]
-
-    timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
-    return gated.groupBy("fp").applyInPandasWithState(
-        first_seen,
-        outputStructType=CURATED_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=timeout_conf,
+    return first_seen_stream(
+        gated,
+        key_col="fp",
+        out_cols=["url", "text", "pred_lang", "quality", "fp"],
+        out_schema=CURATED_SCHEMA,
+        ttl_ms=ttl_ms,
     )

@@ -40,18 +40,27 @@ DEDUP_OUT_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType(), False)])
 
 
-def dedup_stream(stream_df: DataFrame, ttl_ms: int | None = None) -> DataFrame:
-    """First-seen filter over a streaming (url, html, ...) DataFrame.
+def first_seen_stream(
+    df: DataFrame,
+    key_col: str,
+    out_cols: list[str],
+    out_schema: T.StructType,
+    ttl_ms: int | None = None,
+    extra_cols: dict[str, object] | None = None,
+) -> DataFrame:
+    """Generic cross-batch first-seen filter: one output row per distinct
+    ``key_col`` value across ALL micro-batches; later sightings (same
+    batch or later) are absorbed into state.
 
-    Exactly one output row per distinct url across ALL micro-batches; later
-    sightings (same batch or later batches) are absorbed into state. Output
-    mode must be ``append``/``update``.
+    The delicate stateful semantics (timeout expiry removes the key and
+    emits nothing; the timeout re-arms on EVERY sighting; seen-count
+    survives batches) live in exactly one place — `dedup_stream` and
+    `curation.curate_stream` are both instantiations of this.
 
-    ``ttl_ms`` bounds the state store for unbounded crawls: each key arms a
-    processing-time timeout on every sighting; when it fires the key's
-    state is REMOVED, so a url re-crawled after the TTL is emitted again —
-    the explicit trade between store size and long-horizon dedup recall.
-    ``None`` keeps state forever (exact dedup, unbounded store).
+    ``ttl_ms`` bounds the state store for unbounded crawls via
+    ``ProcessingTimeTimeout``: expiry removes the key, so a re-sighting
+    after the TTL is emitted again — store size traded against
+    long-horizon dedup recall. ``None`` keeps state forever.
     """
 
     def first_seen(
@@ -70,22 +79,33 @@ def dedup_stream(stream_df: DataFrame, ttl_ms: int | None = None) -> DataFrame:
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)  # re-arm on every sighting
         if first_row is not None:
-            first_row["n_seen_before"] = 0
-            yield first_row[["url", "html", "n_seen_before"]]
+            for name, value in (extra_cols or {}).items():
+                first_row[name] = value
+            yield first_row[out_cols]
 
     timeout_conf = (
         GroupStateTimeout.ProcessingTimeTimeout
         if ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return (
-        stream_df.select("url", "html")
-        .groupBy("url")
-        .applyInPandasWithState(
-            first_seen,
-            outputStructType=DEDUP_OUT_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=timeout_conf,
-        )
+    return df.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
+def dedup_stream(stream_df: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """First-seen filter over a streaming (url, html, ...) DataFrame —
+    the url-keyed instantiation of ``first_seen_stream`` (see there for
+    the state/TTL semantics)."""
+    return first_seen_stream(
+        stream_df.select("url", "html"),
+        key_col="url",
+        out_cols=["url", "html", "n_seen_before"],
+        out_schema=DEDUP_OUT_SCHEMA,
+        ttl_ms=ttl_ms,
+        extra_cols={"n_seen_before": 0},
     )

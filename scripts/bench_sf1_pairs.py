@@ -92,6 +92,11 @@ def main() -> None:
     import bench as benchmod
 
     subset = set(sys.argv[1:])
+    unknown = subset - {n for n, _ in QUERY_SET}
+    if unknown:
+        # fail BEFORE get_spark/fixture work: a typo'd name would otherwise
+        # burn minutes, measure nothing, and still rewrite sf1.json
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
     query_set = (
         [(n, f) for n, f in QUERY_SET if n in subset] if subset else QUERY_SET
     )
@@ -130,12 +135,12 @@ def main() -> None:
         }
         print(name, results[name], flush=True)
 
-    pairs = []
-    for _ in range(N_EXTRACT_PAIRS if not subset else 0):
-        t_small = _extract_leg(spark, fix_small)
-        t_big = _extract_leg(spark, fix_big)
-        pairs.append((round(t_small, 3), round(t_big, 3)))
-    if pairs:
+    if not subset:  # extract legs only in full runs (too costly per subset)
+        pairs = []
+        for _ in range(N_EXTRACT_PAIRS):
+            t_small = _extract_leg(spark, fix_small)
+            t_big = _extract_leg(spark, fix_big)
+            pairs.append((round(t_small, 3), round(t_big, 3)))
         ratios = [b / s for s, b in pairs]
         results["extract_pipeline"] = {
             "pairs_s": pairs,
@@ -144,10 +149,13 @@ def main() -> None:
         print("extract_pipeline", results["extract_pipeline"], flush=True)
 
     target = ROOT / "BENCH" / "sf1.json"
+    partial = False
     if subset and target.exists():
         prior = json.loads(target.read_text())
         prior["queries"].update(results)
         results = prior["queries"]
+    elif subset:
+        partial = True  # no prior file to merge into: say so in the output
     out = {
         "metric": "sf0.1->sf1 paired wall-time ratio (10x input rows)",
         "method": (
@@ -158,6 +166,8 @@ def main() -> None:
         "linear_bound": 10.0,
         "queries": results,
     }
+    if partial:
+        out["partial"] = sorted(subset)
     (ROOT / "BENCH" / "sf1.json").write_text(json.dumps(out, indent=1))
     print("wrote BENCH/sf1.json")
     spark.stop()
