@@ -118,9 +118,13 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
-    # warmup: one throwaway leg of each query at sf0.1 (JIT/codegen)
+    # warmup: one throwaway leg of each query at BOTH scales — sf0.1-only
+    # warmup left the sf1 partition count's python-worker spinup (~5 s,
+    # CLAUDE.md #12) inside the first measured sf1 leg (the round-4
+    # sim_ivf_ann 9.88 cold-leg artifact)
     for name, fn in query_set:
         _run(fn, spark, SF_SMALL)
+        _run(fn, spark, SF_BIG)
 
     for name, fn in query_set:
         pairs = []
