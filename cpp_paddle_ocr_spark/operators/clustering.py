@@ -19,10 +19,11 @@ Scale notes (100 TB view):
 * Each hash-min iteration is ONE shuffle (join edges⋈labels on dst, then
   groupBy src min) — the standard Spark CC recipe (Kiveris et al.,
   "Connected Components in MapReduce and Beyond", SoCC'14: hash-min /
-  large-star-small-star family). Iterations = graph diameter; LSH dup
-  graphs are cliques and anchor-stars (the BAND_KEY_CAP degradation is
-  star-shaped BY CONSTRUCTION), so diameter ≤ ~4 and the loop converges in
-  2-4 rounds on real crawls.
+  large-star-small-star family). LSH dup graphs are cliques and
+  anchor-stars (the BAND_KEY_CAP degradation is star-shaped BY
+  CONSTRUCTION), so diameter ≤ ~4 and the loop converges in 2-4 rounds on
+  real crawls; thin-chain graphs converge in O(log diameter) via the
+  adaptive pointer-jump (below).
 * Lineage is truncated every iteration (``localCheckpoint``) — without it
   the plan doubles per round and the driver OOMs planning round ~15 at any
   scale. On a multi-executor cluster prefer ``spark.sparkContext.
