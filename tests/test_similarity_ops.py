@@ -284,3 +284,73 @@ def test_round_half_up_6_matches_shortest_repr_decimal():
     got = _round_half_up_6(arr)
     for v, g in zip(vals, got):
         assert g == gold(float(v)), (v, g, gold(float(v)))
+
+
+def test_knn_group_kernel_tripwire_rejects_over_cap_group():
+    """Round-4 verdict #1: over-cap keys must be ROUTED around the pandas
+    kernel, never materialized into it. The kernel enforces that invariant
+    with a hard raise — so the skew test (500 identical vectors, cap 100,
+    batched engine) passing IS proof no over-cap group was materialized."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from cpp_paddle_ocr_spark.operators.similarity import _knn_group_fn
+
+    fn = _knn_group_fn(k=5, bucket_cap=100)
+    emb = [float(i % 7) + 1.0 for i in range(64)]
+    pdf = pd.DataFrame(
+        {"key": 1, "vec_id": np.arange(101), "emb": [emb] * 101}
+    )
+    with _pytest.raises(RuntimeError, match="over-cap routing"):
+        fn(pdf)
+    # at the cap the kernel is the right arm and must work
+    out = fn(pdf.iloc[:100])
+    assert set(out["knn_rank"]) == {1, 2, 3, 4, 5}
+
+
+def test_lsh_multiprobe_recall_two_widths(spark, embeddings):
+    """Round-4 verdict #2: bucket geometry is a parameter. At a finer hash
+    (12 planes = 4096 buckets) the single-bucket candidate pool shrinks, and
+    multi-probe (1-bit-flip neighbor buckets by smallest hyperplane margin)
+    must recover at least the single-bucket recall vs exact brute force —
+    candidates are a superset, and exact top-k of a superset pool can only
+    gain true-top-k members."""
+    truth = {r.vec_id for r in cosine_topk(embeddings, k=10).collect()}
+
+    def recall(n_planes: int, multiprobe: int) -> float:
+        got = {
+            r.vec_id
+            for r in lsh_bucketed_ann(
+                embeddings, n_planes=n_planes, multiprobe=multiprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    for width in (8, 12):
+        single = recall(width, 0)
+        multi = recall(width, 4)
+        assert multi >= single, (width, single, multi)
+
+
+def test_ivf_query_vec_bypasses_plan_time_lookup(spark, embeddings):
+    """With query_vec supplied, building the batched IVF plan must launch
+    no lookup job (round-4 nit #3): .head() is monkeypatched to raise, so
+    any plan-time scan would fail loudly."""
+    from pyspark.sql import DataFrame
+
+    from cpp_paddle_ocr_spark.operators.similarity import ivf_topk
+
+    qvec = [float(v) for v in embeddings.filter(F.col("vec_id") == 0).head().embedding]
+    baseline = ivf_topk(embeddings).collect()
+
+    orig_head = DataFrame.head
+    def boom(self, n=None):  # noqa: ANN001
+        raise AssertionError("plan-time .head() scan with query_vec supplied")
+
+    DataFrame.head = boom
+    try:
+        out = ivf_topk(embeddings, query_vec=qvec)
+    finally:
+        DataFrame.head = orig_head
+    assert out.collect() == baseline
