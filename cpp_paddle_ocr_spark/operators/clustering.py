@@ -26,9 +26,9 @@ Scale notes (100 TB view):
   adaptive pointer-jump (below).
 * Lineage is truncated every iteration (``localCheckpoint``) — without it
   the plan doubles per round and the driver OOMs planning round ~15 at any
-  scale. On a multi-executor cluster prefer ``spark.sparkContext.
-  setCheckpointDir`` + reliable ``checkpoint`` (executor loss invalidates
-  local checkpoints); local mode has no such failure domain.
+  scale. On a multi-executor cluster pass ``checkpoint_dir=`` to switch to
+  reliable ``checkpoint`` (executor loss invalidates local checkpoints);
+  local mode has no such failure domain.
 * The giant-component hazard (one spam template duplicated 10^8 times) is
   bounded upstream: the pair generators' anchor-star caps keep per-key
   pair output O(k), and hash-min over a star converges in 2 rounds with
@@ -59,6 +59,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = CC_MAX_ITER,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Hash-min connected components over an undirected edge list.
 
@@ -80,13 +81,31 @@ def connected_components(
     (on in session.py) backstops the residual case. ``max_iter`` of 25
     therefore covers diameters beyond 2^20; hitting it still raises
     ``RuntimeError`` as a safety net.
+
+    ``checkpoint_dir`` switches the per-round lineage truncation from
+    ``localCheckpoint`` (executor-local blocks — fine in local mode, LOST
+    on executor failure) to a RELIABLE ``checkpoint`` into that directory
+    (HDFS/object-store on a real cluster) — the cluster guidance above as
+    a code path, not a comment. Same labels either way; the reliable mode
+    just pays a write per round for fault tolerance.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(d: DataFrame) -> DataFrame:
+            return d.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(d: DataFrame) -> DataFrame:
+            return d.localCheckpoint(eager=True)
+
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     # materialize the edge list once; every iteration re-reads it
-    sym = sym.localCheckpoint(eager=True)
+    sym = _ckpt(sym)
 
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
@@ -105,14 +124,14 @@ def connected_components(
             ).alias("comp"),
         )
         if rnd < CC_JUMP_AFTER:
-            merged = stepped.localCheckpoint(eager=True)
+            merged = _ckpt(stepped)
         else:
             # pointer jumping: a label is itself a node id in the same
             # component, so looking its label up and taking the min halves
             # the remaining distance to the component min every round.
             # stepped is checkpointed FIRST so the neighbor-propagation
             # subplan isn't recomputed for both sides of the self-join.
-            stepped = stepped.localCheckpoint(eager=True)
+            stepped = _ckpt(stepped)
             hop = stepped.select(
                 "id", F.col("comp").alias("hop_comp")
             ).alias("h")
@@ -127,8 +146,8 @@ def connected_components(
                         F.coalesce(F.col("h.hop_comp"), F.col("s.comp")),
                     ).alias("comp"),
                 )
-                .localCheckpoint(eager=True)
             )
+            merged = _ckpt(merged)
         changed = merged.filter(F.col("comp") < F.col("old_comp")).count()
         labels = merged.select("id", "comp")
         if changed == 0:

@@ -211,6 +211,12 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     one scan; map-side partial combine does most of the work and the only
     shuffle keys are (doc_id, sz, gram) then doc_id. No joins, no skew
     exposure (gram keys are per-doc).
+
+    Docs too short to have bigrams (<2 tokens) or trigrams (<3) get 0.0
+    fractions — no n-grams means nothing repeats. They are still removed
+    by ``repetition_filter``/``corpus_keep``, but explicitly via the
+    entropy gate (H ≤ ln(n_tok) < 3.0 for any doc under 21 tokens), not
+    implicitly via NULL comparisons (round-4 advice).
     """
     grams = (
         df.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -233,8 +239,12 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     return agg.select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
-        F.round(F.col("max_big") / F.col("n_big"), 6).alias("top_bigram_frac"),
-        F.round(F.col("dup_tri") / F.col("n_tri"), 6).alias("dup_trigram_frac"),
+        F.round(
+            F.coalesce(F.col("max_big") / F.col("n_big"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.col("dup_tri") / F.col("n_tri"), F.lit(0.0)), 6
+        ).alias("dup_trigram_frac"),
         F.round(
             F.log(F.col("n_tok").cast("double")) - F.col("e1") / F.col("n_tok"),
             6,
@@ -272,8 +282,8 @@ agg AS (
 )
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tok,
-       round(max_big / n_big, 6) AS top_bigram_frac,
-       round(dup_tri / n_tri, 6) AS dup_trigram_frac,
+       round(coalesce(max_big / n_big, 0.0), 6) AS top_bigram_frac,
+       round(coalesce(dup_tri / n_tri, 0.0), 6) AS dup_trigram_frac,
        round(ln(n_tok) - e1 / n_tok, 6) AS token_entropy
 FROM agg
 """

@@ -136,3 +136,25 @@ def test_semantic_cluster_engines_agree(spark):
         for r in semantic_clusters(emb, engine="batched").collect()
     }
     assert a == b
+
+
+def test_cc_reliable_checkpoint_mode_same_labels(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to reliable checkpoints
+    (the multi-executor guidance as a code path); labels must be identical
+    to the local-checkpoint default, and checkpoint files must land in the
+    given directory."""
+    import os
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], "src bigint, dst bigint"
+    )
+    base = {
+        (r.id, r.comp) for r in connected_components(edges).collect()
+    }
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        (r.id, r.comp)
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert got == base
+    assert any(os.scandir(ckdir)), "no reliable checkpoint data written"

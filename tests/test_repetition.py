@@ -46,12 +46,19 @@ def test_degenerate_all_same_token(spark):
 
 
 def test_single_token_doc(spark):
-    # no bigrams/trigrams exist: fractions are NULL, entropy is 0
+    # no bigrams/trigrams exist: fractions coalesce to 0.0 (nothing can
+    # repeat), entropy is 0 — the doc is dropped by the ENTROPY gate, not
+    # by implicit NULL comparisons (round-4 advice)
     got = _stats(spark, ["lonely"])[0]
     assert got["n_tok"] == 1
-    assert got["top_bigram_frac"] is None
-    assert got["dup_trigram_frac"] is None
+    assert got["top_bigram_frac"] == 0.0
+    assert got["dup_trigram_frac"] == 0.0
     assert got["token_entropy"] == 0.0
+
+    from cpp_paddle_ocr_spark.operators.text_analysis import repetition_filter
+
+    df = spark.createDataFrame([(0, "lonely")], "doc_id bigint, text string")
+    assert repetition_filter(df).count() == 0  # entropy gate still drops it
 
 
 def test_filter_drops_repetitive_doc(spark):
