@@ -121,13 +121,24 @@ def main() -> None:
         ("sim_semantic_clusters", clustering.q_semantic_clusters_batched),
         ("corpus_keep", corpus.QUERIES["corpus_keep"]),
         ("repetition_stats", text_analysis.QUERIES["repetition_stats"]),
+        ("repetition_filter", text_analysis.QUERIES["repetition_filter"]),
         ("chunk_documents", text_analysis.QUERIES["chunk_documents"]),
+        ("hash_sample", text_analysis.QUERIES["hash_sample"]),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),
         ("fingerprint", text_analysis.QUERIES["fingerprint"]),
         ("status_agg", relational.QUERIES["status_agg"]),
         ("overlap_iou", relational.QUERIES["overlap_iou"]),
+    ]
+    # remaining driver query families (round-4 verdict bench-coverage nit):
+    # the staged-cascade variant and the media header decode run over their
+    # own fixed-size fixture generators, same as their driver entries
+    from __spark_entry__ import _q_extract_staged, _q_multimodal_meta
+
+    others += [
+        ("extract_pages_staged", _q_extract_staged),
+        ("multimodal_meta", _q_multimodal_meta),
     ]
     for name, fn in others:
         t0 = time.perf_counter()

@@ -289,6 +289,75 @@ FROM agg
 """
 
 
+def repetition_metrics_udf():
+    """The STATELESS per-row form of ``repetition_stats``: one pandas-UDF
+    struct ``(n_tok, top_bigram_frac, dup_trigram_frac, token_entropy)``
+    computed from a text column alone.
+
+    ``repetition_stats`` aggregates strictly WITHIN a document (groupBy
+    (doc_id, sz, gram) then doc_id) — per arriving row the metrics are a
+    pure function of that row's text, so a stream can gate on them with no
+    state at all (round-4 verdict #2: the old "needs corpus-global state"
+    claim was wrong). The batch form stays the right shape for tables (two
+    hash aggs, zero Python); this form exists for per-row contexts —
+    ``streaming.curation.curate_stream`` — and is pinned row-for-row
+    against the batch form by ``test_repetition.py``.
+
+    Parity contract: tokenization uses the exact Java ``\\s`` class
+    (``[ \\t\\n\\x0b\\f\\r]``) that ``common.tokens``'s ``split`` compiles
+    to, counts are integer-exact, and rounding goes through
+    ``_round_half_up_6`` (Spark ``F.round`` shortest-repr HALF_UP
+    semantics). Zero-token docs get (0, 0.0, 0.0, 0.0) — the batch form
+    emits no row for them, and every gate composition drops them either
+    way (entropy 0.0 < min)."""
+    import math as _math
+    import re as _re
+    from collections import Counter as _Counter
+
+    from .similarity import _round_half_up_6
+
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
+
+    def one(text: str):
+        toks = [t for t in ws.split(text) if t != ""]
+        n = len(toks)
+        if n == 0:
+            return (0, 0.0, 0.0, 0.0)
+        top = 0.0
+        if n >= 2:
+            big = _Counter(zip(toks, toks[1:]))
+            top = max(big.values()) / (n - 1)
+        dup = 0.0
+        if n >= 3:
+            tri = _Counter(zip(toks, toks[1:], toks[2:]))
+            dup = sum(c for c in tri.values() if c > 1) / (n - 2)
+        uni = _Counter(toks)
+        e1 = sum(c * _math.log(c) for c in uni.values())
+        ent = _math.log(n) - e1 / n
+        r6 = _round_half_up_6
+        return (n, float(r6(top)), float(r6(dup)), float(r6(ent)))
+
+    @F.pandas_udf(
+        "struct<n_tok:bigint,top_bigram_frac:double,"
+        "dup_trigram_frac:double,token_entropy:double>"
+    )
+    def rep(text):
+        import pandas as pd
+
+        rows = [one(t if t is not None else "") for t in text]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_tok",
+                "top_bigram_frac",
+                "dup_trigram_frac",
+                "token_entropy",
+            ],
+        )
+
+    return rep
+
+
 def repetition_filter(
     df: DataFrame,
     max_top_bigram: float = REP_MAX_TOP_BIGRAM,

@@ -9,19 +9,25 @@ streaming-safe pieces into that pipeline:
                  → language + quality gates (stateless projections —
                    the SAME lang_cols()/quality_cols() the batch operator
                    and its DuckDB oracle use, applied to extracted_text)
+                 → repetition gate (stateless pandas-UDF per-row metrics —
+                   the batch form aggregates strictly within a document,
+                   so per arriving row it is a pure function of that row's
+                   text; same REP_* thresholds as the batch pipeline,
+                   row-for-row metric parity pinned by test_repetition)
                  → cross-batch exact dedup on the text fingerprint
                    (applyInPandasWithState, first-seen wins, optional TTL)
 
-The aggregation-based batch gates (repetition stats, LSH near-dup
-clusters) are deliberately NOT here: they need corpus-global state and
-belong in the periodic batch pass over the accumulated table — the
-standard lambda split. What CAN be decided per row or per key streams;
-what needs the whole corpus batches.
+The ONE batch gate deliberately not here is the LSH near-dup/cluster
+keep-one: candidate pairs and transitive closure genuinely need the
+accumulated corpus, so that gate belongs in the periodic batch pass over
+the stored table — the standard lambda split. Everything decidable per
+row or per key streams; only the corpus-global closure batches.
 
-Scale shape: stateless stages are per-row maps (no shuffle); the dedup
-stage shuffles once on the fingerprint key and shards its state store by
-that key across executors — same properties as `stateful.dedup_stream`,
-with md5(text) instead of url as the identity.
+Scale shape: stateless stages are per-row maps (no shuffle; the
+repetition metrics are one Arrow-batched UDF call); the dedup stage
+shuffles once on the fingerprint key and shards its state store by that
+key across executors — same properties as `stateful.dedup_stream`, with
+md5(text) instead of url as the identity.
 """
 
 from __future__ import annotations
@@ -29,7 +35,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..operators.corpus import KEEP_LANG, MIN_QUALITY
-from ..operators.text_analysis import lang_cols, quality_cols
+from ..operators.text_analysis import (
+    REP_MAX_DUP_TRIGRAM,
+    REP_MAX_TOP_BIGRAM,
+    REP_MIN_ENTROPY,
+    lang_cols,
+    quality_cols,
+    repetition_metrics_udf,
+)
 from .stateful import first_seen_stream
 
 CURATED_SCHEMA = T.StructType(
@@ -38,9 +51,15 @@ CURATED_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("pred_lang", T.StringType(), True),
         T.StructField("quality", T.DoubleType(), True),
+        T.StructField("top_bigram_frac", T.DoubleType(), True),
+        T.StructField("dup_trigram_frac", T.DoubleType(), True),
+        T.StructField("token_entropy", T.DoubleType(), True),
         T.StructField("fp", T.StringType(), False),
     ]
 )
+
+_OUT_COLS = [f.name for f in CURATED_SCHEMA.fields]
+
 
 def curate_stream(
     stream_df: DataFrame,
@@ -51,12 +70,16 @@ def curate_stream(
     """Pages stream → curated, fingerprint-deduplicated text stream.
 
     Output: one row per FIRST sighting of each distinct extracted text
-    that passes the gates — ``(url, text, pred_lang, quality, fp)``.
-    Gate defaults are IMPORTED from the batch ``corpus_keep`` constants so
-    retuning the batch pipeline retunes the stream with it. ``ttl_ms``
-    bounds the dedup state store exactly as in ``stateful.dedup_stream``
-    (both are instantiations of ``first_seen_stream`` — one state
-    machine, two keys).
+    that passes the gates — ``(url, text, pred_lang, quality,
+    top_bigram_frac, dup_trigram_frac, token_entropy, fp)`` with every
+    gating metric attached for audit, like the batch ``corpus_keep``.
+    Gate defaults are IMPORTED from the batch constants so retuning the
+    batch pipeline retunes the stream with it. The explicit
+    ``text IS NOT NULL`` filter enforces the non-null ``fp`` the schema
+    declares (round-4 advice: success=true does not by itself guarantee
+    non-null text). ``ttl_ms`` bounds the dedup state store exactly as in
+    ``stateful.dedup_stream`` (both are instantiations of
+    ``first_seen_stream`` — one state machine, two keys).
     """
     from .ingest import extract_stream
 
@@ -64,22 +87,32 @@ def curate_stream(
     gated = (
         extracted.filter(F.col("success"))
         .select("url", F.col("extracted_text").alias("text"))
+        .filter(F.col("text").isNotNull())
         .select("url", "text", *lang_cols(), *quality_cols())
         .filter(
             (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
         )
+        .withColumn("rep", repetition_metrics_udf()(F.col("text")))
         .select(
             "url",
             "text",
             "pred_lang",
             "quality",
-            F.md5(F.col("text")).alias("fp"),
+            F.col("rep.top_bigram_frac").alias("top_bigram_frac"),
+            F.col("rep.dup_trigram_frac").alias("dup_trigram_frac"),
+            F.col("rep.token_entropy").alias("token_entropy"),
         )
+        .filter(
+            (F.col("top_bigram_frac") <= REP_MAX_TOP_BIGRAM)
+            & (F.col("dup_trigram_frac") <= REP_MAX_DUP_TRIGRAM)
+            & (F.col("token_entropy") >= REP_MIN_ENTROPY)
+        )
+        .withColumn("fp", F.md5(F.col("text")))
     )
     return first_seen_stream(
         gated,
         key_col="fp",
-        out_cols=["url", "text", "pred_lang", "quality", "fp"],
+        out_cols=_OUT_COLS,
         out_schema=CURATED_SCHEMA,
         ttl_ms=ttl_ms,
     )

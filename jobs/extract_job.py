@@ -45,6 +45,9 @@ def main(argv: list[str]) -> None:
         read_documents,
     )
 
+    # don't tear down a session this entry didn't create (in-process
+    # callers — tests, notebooks — own their session's lifecycle)
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("extract-job").getOrCreate()
     if args.status:
         from pyspark.sql import functions as F
@@ -60,7 +63,8 @@ def main(argv: list[str]) -> None:
             F.max("committed_at").alias("last_commit"),
         )
         summary.show(truncate=False)
-        spark.stop()
+        if owns_session:
+            spark.stop()
         return
 
     source_table = None
@@ -94,7 +98,8 @@ def main(argv: list[str]) -> None:
         f"run_id={run_id} "
         + " ".join(f"{k}={v.value}" for k, v in metrics.items())
     )
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from cpp_paddle_ocr_spark.operators.text_analysis import (  # noqa: E402
     repetition_filter,
     repetition_stats,
@@ -122,3 +124,40 @@ def test_chunk_documents_null_text_no_rows(spark):
         [(1, "a b c"), (2, None)], "doc_id bigint, text string"
     )
     assert [r["doc_id"] for r in chunk_documents(df).collect()] == [1]
+
+
+def test_per_row_udf_matches_batch_stats(spark):
+    """repetition_metrics_udf (the stateless streaming form) must agree
+    row-for-row with the batch aggregation form on real fixture docs plus
+    the degenerate shapes."""
+    from cpp_paddle_ocr_spark.operators.text_analysis import (
+        repetition_metrics_udf,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (100001, "a b a b c"),
+            (100002, "x x x x"),
+            (100003, "lonely"),
+            (100004, "spam " * 50),
+        ],
+        "doc_id bigint, text string",
+    )
+    df = docs.unionByName(extra)
+    from cpp_paddle_ocr_spark.operators.text_analysis import repetition_stats
+
+    batch = {r.doc_id: r for r in repetition_stats(df).collect()}
+    perrow = df.withColumn("m", repetition_metrics_udf()(F.col("text"))).select(
+        "doc_id", "m.*"
+    )
+    rows = perrow.collect()
+    assert len(rows) == len(batch)  # fixture has no zero-token docs
+    for r in rows:
+        b = batch[r.doc_id]
+        assert r.n_tok == b.n_tok, r.doc_id
+        assert r.top_bigram_frac == b.top_bigram_frac, r.doc_id
+        assert r.dup_trigram_frac == b.dup_trigram_frac, r.doc_id
+        assert r.token_entropy == b.token_entropy, r.doc_id

@@ -1,5 +1,8 @@
 """Streaming curation pipeline (streaming/curation.py): gates + dedup on a
-live stream must agree with the batch-side equivalent over the same pages."""
+live stream must agree with the batch-side equivalent over the same pages —
+including the repetition gate (round-4 verdict #2: per-document metrics are
+stateless, so the stream applies the same REP_* thresholds as corpus_keep;
+only the corpus-global LSH/cluster keep-one stays batch-only)."""
 
 from __future__ import annotations
 
@@ -12,12 +15,41 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from cpp_paddle_ocr_spark.operators.extract import extract  # noqa: E402
 from cpp_paddle_ocr_spark.operators.text_analysis import (  # noqa: E402
+    REP_MAX_DUP_TRIGRAM,
+    REP_MAX_TOP_BIGRAM,
+    REP_MIN_ENTROPY,
     lang_cols,
     quality_cols,
+    repetition_stats,
 )
 from cpp_paddle_ocr_spark.schemas import DOCUMENTS_SCHEMA  # noqa: E402
 from cpp_paddle_ocr_spark.sources.documents import generate_documents  # noqa: E402
 from cpp_paddle_ocr_spark.streaming.curation import curate_stream  # noqa: E402
+
+
+def _batch_kept_fps(spark, in_dir: str, lang: str, min_quality: float):
+    """The batch corpus_keep gate chain (minus the cluster gate) applied to
+    the SAME extracted texts: lang ∧ quality ∧ repetition, dedup to one row
+    per distinct text (the batch analog of first-seen fp dedup)."""
+    texts = (
+        extract(spark.read.parquet(in_dir))
+        .filter(F.col("success"))
+        .select(F.col("extracted_text").alias("text"))
+        .filter(F.col("text").isNotNull())
+        .select("text", *lang_cols(), *quality_cols())
+        .filter(
+            (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
+        )
+        .select(F.md5(F.col("text")).alias("doc_id"), "text")
+        .distinct()
+    )
+    rep = repetition_stats(texts)
+    kept = rep.filter(
+        (F.col("top_bigram_frac") <= REP_MAX_TOP_BIGRAM)
+        & (F.col("dup_trigram_frac") <= REP_MAX_DUP_TRIGRAM)
+        & (F.col("token_entropy") >= REP_MIN_ENTROPY)
+    )
+    return {r.doc_id: r for r in kept.collect()}
 
 
 def test_curate_stream_matches_batch_gates_and_dedups(spark, tmp_path):
@@ -43,24 +75,25 @@ def test_curate_stream_matches_batch_gates_and_dedups(spark, tmp_path):
     rows = spark.sql("select * from curated_t").collect()
     assert rows, "stream produced no curated rows"
 
-    # gate invariants on every emitted row
+    # gate invariants on every emitted row, including the repetition gate
     for r in rows:
         assert r.pred_lang == "en"
         assert r.quality >= 0.3
+        assert r.top_bigram_frac <= REP_MAX_TOP_BIGRAM
+        assert r.dup_trigram_frac <= REP_MAX_DUP_TRIGRAM
+        assert r.token_entropy >= REP_MIN_ENTROPY
     # exact dedup: one row per fingerprint
     fps = [r.fp for r in rows]
     assert len(fps) == len(set(fps))
 
-    # batch equivalent over the same input: same kept-fingerprint SET
+    # batch equivalent (corpus_keep minus the cluster gate) over the same
+    # input: same kept-fingerprint SET and same per-text metric values
     # (first-seen picks a different representative url — compare identity
     # of the curated texts, not which duplicate won)
-    batch = (
-        extract(spark.read.parquet(in_dir))
-        .filter(F.col("success"))
-        .select(F.col("extracted_text").alias("text"))
-        .select("text", *lang_cols(), *quality_cols())
-        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.3))
-        .select(F.md5(F.col("text")).alias("fp"))
-        .distinct()
-    )
-    assert set(fps) == {r.fp for r in batch.collect()}
+    batch = _batch_kept_fps(spark, in_dir, "en", 0.3)
+    assert set(fps) == set(batch)
+    for r in rows:
+        b = batch[r.fp]
+        assert r.top_bigram_frac == b.top_bigram_frac
+        assert r.dup_trigram_frac == b.dup_trigram_frac
+        assert r.token_entropy == b.token_entropy
