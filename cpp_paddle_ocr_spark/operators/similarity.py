@@ -722,21 +722,43 @@ def _knn_scored(pairs: DataFrame) -> DataFrame:
 
 def _knn_star(big: DataFrame) -> DataFrame:
     """Join-based anchor-star scoring for over-cap keys: (member → anchor)
-    and (anchor → member) pairs — O(n) rows per key, built from joins the
+    and (anchor → member) pairs — O(n) rows per key, built from a join the
     shuffle machinery streams, never a per-group pandas materialization.
-    ``big`` needs columns (vec_id, emb, norm, key, anchor)."""
+    ``big`` needs columns (vec_id, emb, norm, key, anchor).
+
+    Shape: the anchors side is ONE row per over-cap key (≤2^n_planes rows
+    total), so it is force-broadcast — members stream map-side through a
+    BroadcastHashJoin with no shuffle. Cosine is symmetric, so both
+    directions come out of ONE scored join: each (member → anchor) row
+    explodes into itself plus its id-swapped mirror (identical doubles —
+    commutative multiplies, same fold order). An explode, not a union:
+    Catalyst has no cross-branch subplan reuse, so a union's second branch
+    would replay the whole join."""
     anchors = big.filter(F.col("vec_id") == F.col("anchor"))
     members = big.filter(F.col("vec_id") != F.col("anchor"))
-    return _knn_scored(
+    ma = _knn_scored(
         _knn_a_side(members).join(
-            _knn_b_side(anchors), F.col("key") == F.col("key_b")
+            F.broadcast(_knn_b_side(anchors)), F.col("key") == F.col("key_b")
         )
-    ).unionByName(
-        _knn_scored(
-            _knn_a_side(anchors).join(
-                _knn_b_side(members), F.col("key") == F.col("key_b")
-            )
+    )
+
+    def _dir(a: str, b: str):
+        return F.struct(
+            F.col(a).alias("vec_id"),
+            F.col(b).alias("neighbor_id"),
+            F.col("cosine").alias("cosine"),
         )
+
+    return (
+        ma.select(
+            F.explode(
+                F.array(
+                    _dir("vec_id", "neighbor_id"),
+                    _dir("neighbor_id", "vec_id"),
+                )
+            ).alias("p")
+        )
+        .select("p.vec_id", "p.neighbor_id", "p.cosine")
     )
 
 
@@ -795,10 +817,14 @@ def knn_join(
     if engine == "batched":
         # per-key membership stats: one map-side-combined aggregate over
         # ≤2^n_planes keys, broadcast back so the routing adds no shuffle
-        # of the embeddings themselves
+        # of the embeddings themselves. Materialized EAGERLY (one small
+        # plan-time job, same disclosure as _ivf_topk_batched's head()):
+        # Catalyst has no cross-branch subplan reuse, so a lazy stats
+        # subtree would replay the full-table key scan + aggregate once
+        # per routed arm (3×) instead of once.
         stats = e.groupBy("key").agg(
             F.count("*").alias("n_key"), F.min("vec_id").alias("anchor")
-        )
+        ).localCheckpoint(eager=True)
         e2 = e.join(F.broadcast(stats), "key")
         dense = (
             e2.filter(F.col("n_key") <= bucket_cap)

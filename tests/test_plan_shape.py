@@ -109,11 +109,20 @@ def test_corpus_keep_no_cartesian_and_prunes_scan(spark):
         assert "source" not in rs, rs
 
 
-def test_knn_join_batched_single_shuffle(spark):
+def test_knn_join_batched_plan_shape(spark):
+    """The routed batched engine (round-4 verdict #1): per-key stats are a
+    materialized tiny broadcast (no re-aggregation per arm), every join is
+    a BroadcastHashJoin (the big table is never the build side and never
+    sort-merge-shuffled), the table is scanned once per routed arm (dense /
+    star-members / star-anchors — Catalyst has no cross-branch subplan
+    reuse), and the only embedding shuffles are the under-cap groupBy into
+    the ONE pandas kernel and the star arm's rank window."""
     from cpp_paddle_ocr_spark.operators import similarity
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = plan_of(similarity.knn_join(emb))
-    # one groupBy-bucket shuffle into applyInPandas; no join at all
-    assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Scan parquet") <= 3
+    assert plan.count("Exchange hashpartitioning") == 2
