@@ -107,8 +107,16 @@ def connected_components(
     # materialize the edge list once; every iteration re-reads it
     sym = _ckpt(sym)
 
-    labels = sym.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
+    # Round 0 is folded into initialization: with comp(x)=x, the first
+    # neighbor-min propagation is exactly min(dst) per src, so labels start
+    # at least(id, min(neighbor)) from ONE aggregate over the edge list —
+    # this replaces both the distinct-node init and a full
+    # join+aggregate+checkpoint+count round. Every node appears as a src in
+    # the symmetrized edge list, so coverage is unchanged.
+    labels = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nbr"))
+        .select("id", F.least(F.col("id"), F.col("nbr")).alias("comp"))
     )
     for rnd in range(max_iter):
         prop = (
@@ -123,7 +131,8 @@ def connected_components(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
             ).alias("comp"),
         )
-        if rnd < CC_JUMP_AFTER:
+        # the folded init counts as the first plain round
+        if rnd < CC_JUMP_AFTER - 1:
             merged = _ckpt(stepped)
         else:
             # pointer jumping: a label is itself a node id in the same
