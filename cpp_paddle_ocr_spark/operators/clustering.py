@@ -230,6 +230,7 @@ def dedup_clusters(
     df: DataFrame,
     band_cap: int = BAND_KEY_CAP,
     verify_pct: int = JACCARD_VERIFY_PCT,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full near-dup resolution over `documents`: LSH candidate pairs →
     true-Jaccard verification → connected components →
@@ -242,7 +243,10 @@ def dedup_clusters(
     whole table.
     """
     labels = connected_components(
-        verified_pairs(df, band_cap, verify_pct), "doc_a", "doc_b"
+        verified_pairs(df, band_cap, verify_pct),
+        "doc_a",
+        "doc_b",
+        checkpoint_dir=checkpoint_dir,
     )
     return _attach_labels(df.select("doc_id"), labels, "doc_id")
 
@@ -257,7 +261,10 @@ SEMANTIC_DRIVER_THRESH = 0.45
 
 
 def semantic_clusters(
-    df: DataFrame, thresh: float = SEMANTIC_THRESH, engine: str = "batched"
+    df: DataFrame,
+    thresh: float = SEMANTIC_THRESH,
+    engine: str = "batched",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup clusters: kNN edges with cosine ≥
     ``thresh`` → connected components → ``(vec_id, cluster_id,
@@ -275,7 +282,9 @@ def semantic_clusters(
         .filter(F.col("cosine") >= thresh)
         .select("vec_id", "neighbor_id")
     )
-    labels = connected_components(pairs, "vec_id", "neighbor_id")
+    labels = connected_components(
+        pairs, "vec_id", "neighbor_id", checkpoint_dir=checkpoint_dir
+    )
     return _attach_labels(df.select("vec_id"), labels, "vec_id")
 
 

@@ -354,3 +354,21 @@ def test_ivf_query_vec_bypasses_plan_time_lookup(spark, embeddings):
     finally:
         DataFrame.head = orig_head
     assert out.collect() == baseline
+
+
+def test_knn_join_engines_agree_at_nondefault_width(spark, embeddings):
+    """The geometry parameterization must hold beyond the oracle default:
+    at 12 planes (4096 buckets) both engines still produce the identical
+    (vec_id, neighbor_id, cosine, knn_rank) set."""
+    from cpp_paddle_ocr_spark.operators.similarity import knn_join
+
+    def rows(engine):
+        return {
+            (r.vec_id, r.neighbor_id, r.cosine, r.knn_rank)
+            for r in knn_join(embeddings, engine=engine, n_planes=12).collect()
+        }
+
+    got_b = rows("batched")
+    got_e = rows("expr")
+    assert got_b == got_e
+    assert got_b  # 12-plane bucketing still yields candidate pairs here
