@@ -265,6 +265,7 @@ def semantic_clusters(
     thresh: float = SEMANTIC_THRESH,
     engine: str = "batched",
     checkpoint_dir: str | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup clusters: kNN edges with cosine ≥
     ``thresh`` → connected components → ``(vec_id, cluster_id,
@@ -278,7 +279,7 @@ def semantic_clusters(
     DuckDB bit-parity while production/bench default to the matmul engine.
     """
     pairs = (
-        knn_join(df, engine=engine)
+        knn_join(df, engine=engine, n_tables=n_tables)
         .filter(F.col("cosine") >= thresh)
         .select("vec_id", "neighbor_id")
     )

@@ -96,6 +96,9 @@ LIMIT {TOPK}
 
 def _plane_dot(emb: str, j: int) -> str:
     """Signed sum for hyperplane j: weight(i) = +1 if (i*31 + j*17) even.
+    Multi-table LSH uses globally-offset plane indices (table t, local
+    plane j → global plane t·n_planes + j), so every table draws from the
+    same closed-form hyperplane family with no overlap.
 
     UNROLLED (no higher-order ``aggregate`` lambda): a lambda expression
     used as a self-join/window key trips a Catalyst attribute-dedup bug on
@@ -114,12 +117,12 @@ def _plane_dot(emb: str, j: int) -> str:
     return "(" + " ".join(parts) + ")"
 
 
-def _bucket_col(emb: str, n_planes: int = N_PLANES):
+def _bucket_col(emb: str, n_planes: int = N_PLANES, table: int = 0):
     value = None
     for j in range(n_planes):
-        bit = F.when(F.expr(_plane_dot(emb, j)) > 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
+        bit = F.when(
+            F.expr(_plane_dot(emb, table * n_planes + j)) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
         value = bit if value is None else value + bit
     return value.cast("int")
 
@@ -236,6 +239,7 @@ def lsh_neardup_pairs(
     thresh: float = 0.9,
     bucket_cap: int = BUCKET_CAP,
     n_planes: int = N_PLANES,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Full-table embedding near-dup at scale: bucket self-join + exact
     cosine verify — the production path behind
@@ -247,9 +251,25 @@ def lsh_neardup_pairs(
     the join explodes per-bucket, never n². Recall is bounded by the
     hyperplane count: near-identical vectors (cosine ≥ 0.9) land in the
     same bucket with high probability; more planes shrink candidate volume
-    at a recall cost. Buckets over ``bucket_cap`` members emit anchor-star
-    pairs only (see BUCKET_CAP).
+    at a recall cost — which ``n_tables`` independent hash tables buy back
+    (union of per-table pairs, deduped on the pair key; same multi-table
+    mechanism as ``knn_join``). Buckets over ``bucket_cap`` members emit
+    anchor-star pairs only (see BUCKET_CAP).
     """
+    if n_tables > 1:
+        merged = None
+        for t in range(n_tables):
+            p = _lsh_neardup_one_table(df, thresh, bucket_cap, n_planes, t)
+            merged = p if merged is None else merged.unionByName(p)
+        return merged.groupBy("vec_a", "vec_b").agg(
+            F.max("cosine").alias("cosine")
+        )
+    return _lsh_neardup_one_table(df, thresh, bucket_cap, n_planes, 0)
+
+
+def _lsh_neardup_one_table(
+    df: DataFrame, thresh: float, bucket_cap: int, n_planes: int, table: int
+) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("bucket")
@@ -257,7 +277,7 @@ def lsh_neardup_pairs(
         df.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
-        .withColumn("bucket", _bucket_col("emb", n_planes))
+        .withColumn("bucket", _bucket_col("emb", n_planes, table=table))
         .withColumn("n_bucket", F.count("*").over(w))
         .withColumn("anchor", F.min("vec_id").over(w))
     )
@@ -781,6 +801,7 @@ def knn_join(
     engine: str = "batched",
     n_planes: int = N_PLANES,
     n_centroids: int = N_CENTROIDS,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Top-k neighbors per row: (vec_id, neighbor_id, cosine, knn_rank).
 
@@ -793,6 +814,18 @@ def knn_join(
     the anchor against all members — O(n) pairs per over-cap bucket instead
     of n². Recall is bounded by the bucket scheme: neighbors in other
     buckets are unseen — the standard LSH/IVF trade.
+
+    ``n_tables`` (LSH only) is the classic multi-table recall lever: L
+    independent hash tables over disjoint slices of the closed-form
+    hyperplane family, each contributing its own candidate set. Correct by
+    containment — the global top-k over the candidate UNION is a subset of
+    the union of per-table top-k's — so tables run the normal single-table
+    machinery and merge with a pair-key dedup + re-rank. Cost is L bucket
+    joins over the scan; recall at fine hashes rises with L
+    (``test_knn_join_multi_table_recall``). Pairs found by several tables
+    carry the same 6-dp cosine; the merge takes max per pair key, so a
+    measure-zero dense-vs-star last-ulp boundary disagreement cannot
+    duplicate a pair.
 
     ``engine="batched"`` (default, production): one cheap per-key count
     aggregate (≤2^n_planes rows, broadcast back), then under-cap keys go
@@ -809,11 +842,33 @@ def knn_join(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     if method == "lsh":
-        e = e.withColumn("key", _bucket_col("emb", n_planes))
+        keyed = [
+            e.withColumn("key", _bucket_col("emb", n_planes, table=t))
+            for t in range(n_tables)
+        ]
     elif method == "ivf":
-        e = e.withColumn("key", ivf_assign_batched(n_centroids)(F.col("emb")))
+        if n_tables != 1:
+            raise ValueError("n_tables > 1 applies to method='lsh' only")
+        keyed = [
+            e.withColumn("key", ivf_assign_batched(n_centroids)(F.col("emb")))
+        ]
     else:
         raise ValueError(f"method must be 'lsh' or 'ivf', got {method!r}")
+    parts = [_knn_one_table(ek, k, bucket_cap, engine) for ek in keyed]
+    if len(parts) == 1:
+        return parts[0]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    pairs = merged.groupBy("vec_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    return _knn_rank(pairs, k)
+
+
+def _knn_one_table(e: DataFrame, k: int, bucket_cap: int, engine: str) -> DataFrame:
+    """Ranked kNN over ONE keyed frame ``(vec_id, emb, key)`` — the
+    single-table machinery both the plain and multi-table forms run."""
     if engine == "batched":
         # per-key membership stats: one map-side-combined aggregate over
         # ≤2^n_planes keys, broadcast back so the routing adds no shuffle

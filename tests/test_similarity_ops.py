@@ -372,3 +372,47 @@ def test_knn_join_engines_agree_at_nondefault_width(spark, embeddings):
     got_e = rows("expr")
     assert got_b == got_e
     assert got_b  # 12-plane bucketing still yields candidate pairs here
+
+
+def _knn_pairs(df):
+    return {(r.vec_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_knn_join_multi_table_recall(spark, embeddings):
+    """Multi-table LSH (the classic L-hash-tables recall lever): per-table
+    top-k union contains the global top-k over the candidate union, so at a
+    fine 12-plane hash adding tables must not lose — and should gain —
+    recall vs exact per-row kNN."""
+    from pyspark.sql import functions as F
+
+    from cpp_paddle_ocr_spark.operators.similarity import (
+        _knn_one_table,
+        knn_join,
+    )
+
+    # exact ground truth: every row in ONE dense bucket (cap >> n)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("key", F.lit(0))
+    truth = _knn_pairs(_knn_one_table(e, 5, 10**9, "batched"))
+
+    one = _knn_pairs(knn_join(embeddings, n_planes=12, n_tables=1))
+    three = _knn_pairs(knn_join(embeddings, n_planes=12, n_tables=3))
+    r1 = len(one & truth) / len(truth)
+    r3 = len(three & truth) / len(truth)
+    assert r3 >= r1, (r1, r3)
+    assert r3 > 0
+
+
+def test_knn_join_multi_table_engines_agree(spark, embeddings):
+    from cpp_paddle_ocr_spark.operators.similarity import knn_join
+
+    def rows(engine):
+        return {
+            (r.vec_id, r.neighbor_id, r.cosine, r.knn_rank)
+            for r in knn_join(
+                embeddings, engine=engine, n_planes=12, n_tables=2
+            ).collect()
+        }
+
+    assert rows("batched") == rows("expr")
