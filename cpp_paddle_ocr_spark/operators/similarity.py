@@ -256,6 +256,8 @@ def lsh_neardup_pairs(
     mechanism as ``knn_join``). Buckets over ``bucket_cap`` members emit
     anchor-star pairs only (see BUCKET_CAP).
     """
+    if n_planes == "auto":
+        n_planes = auto_n_planes(df.count(), bucket_cap)
     if n_tables > 1:
         merged = None
         for t in range(n_tables):
@@ -805,8 +807,9 @@ def knn_join(
 ) -> DataFrame:
     """Top-k neighbors per row: (vec_id, neighbor_id, cosine, knn_rank).
 
-    ``method="lsh"`` buckets by the ``n_planes`` sign hash (size it with
-    ``auto_n_planes`` — the 8-plane default is the committed-oracle
+    ``method="lsh"`` buckets by the ``n_planes`` sign hash — pass
+    ``n_planes="auto"`` to size it from a plan-time row count via
+    ``auto_n_planes`` (the 8-plane default is the committed-oracle
     geometry, NOT a web-scale setting); ``method="ivf"`` buckets by the
     batched-matmul centroid argmax over ``n_centroids`` lists (candidates =
     same inverted list — the nprobe=1 per-row probe). Rows in buckets over
@@ -841,6 +844,10 @@ def knn_join(
     e = df.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    if n_planes == "auto":
+        # one disclosed plan-time count (cheap: column-pruned scan with
+        # map-side partial counts) → geometry sized to the actual corpus
+        n_planes = auto_n_planes(df.count(), bucket_cap)
     if method == "lsh":
         keyed = [
             e.withColumn("key", _bucket_col("emb", n_planes, table=t))

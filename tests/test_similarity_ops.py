@@ -416,3 +416,34 @@ def test_knn_join_multi_table_engines_agree(spark, embeddings):
         }
 
     assert rows("batched") == rows("expr")
+
+
+def test_auto_n_planes_formula():
+    import math
+
+    from cpp_paddle_ocr_spark.operators.similarity import (
+        N_PLANES,
+        auto_n_planes,
+    )
+
+    assert auto_n_planes(500, 1024) == N_PLANES  # small corpus: oracle floor
+    assert auto_n_planes(0, 1024) == N_PLANES
+    big = auto_n_planes(10**12, 1024)
+    assert big == math.ceil(math.log2(10**12 / 1024))  # ≈30: 2^30 buckets
+    assert auto_n_planes(10**12, 1024) > auto_n_planes(10**9, 1024)
+
+
+def test_knn_join_auto_planes_resolves_from_count(spark, embeddings):
+    """n_planes='auto' sizes geometry from the corpus; on the small fixture
+    it resolves to the oracle default, so results are identical."""
+    from cpp_paddle_ocr_spark.operators.similarity import knn_join
+
+    base = {
+        (r.vec_id, r.neighbor_id, r.cosine, r.knn_rank)
+        for r in knn_join(embeddings).collect()
+    }
+    auto = {
+        (r.vec_id, r.neighbor_id, r.cosine, r.knn_rank)
+        for r in knn_join(embeddings, n_planes="auto").collect()
+    }
+    assert auto == base
