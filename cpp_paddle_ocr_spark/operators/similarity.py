@@ -402,10 +402,14 @@ def ivf_scores_batched(n_centroids: int = N_CENTROIDS):
     return scores
 
 
-def ivf_assign_batched(n_centroids: int = N_CENTROIDS):
-    """Argmax inverted-list assignment as ONE int per row (the production
-    entry point): the matmul of ``ivf_scores_batched`` followed by argmax
-    inside the same Arrow batch, so only a 4-byte list id crosses back."""
+def ivf_assign_batched(n_centroids: int = N_CENTROIDS, rank: int = 0):
+    """Inverted-list assignment as ONE int per row (the production entry
+    point): the matmul of ``ivf_scores_batched`` followed by a ranked
+    argmax inside the same Arrow batch, so only a 4-byte list id crosses
+    back. ``rank=0`` is the argmax (the home list); ``rank=r`` is the
+    (r+1)-th best centroid — the per-row multi-probe used by
+    ``knn_join(method="ivf", nprobe=...)``. Ties break toward the lower
+    list id (matches the fold path's array_position-first semantics)."""
     C = _centroid_matrix(n_centroids)
 
     @F.pandas_udf("int")
@@ -413,7 +417,12 @@ def ivf_assign_batched(n_centroids: int = N_CENTROIDS):
         if len(emb) == 0:
             return pd.Series([], dtype="int32")
         M = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-        return pd.Series((M @ C).argmax(axis=1).astype("int32"))
+        S = M @ C
+        # stable lexsort on (-score, list_id): rank r column = r-th best
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(S.shape[1]), S.shape), -S), axis=1
+        )
+        return pd.Series(order[:, rank].astype("int32"))
 
     return assign
 
@@ -804,6 +813,7 @@ def knn_join(
     n_planes: int = N_PLANES,
     n_centroids: int = N_CENTROIDS,
     n_tables: int = 1,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Top-k neighbors per row: (vec_id, neighbor_id, cosine, knn_rank).
 
@@ -830,6 +840,11 @@ def knn_join(
     measure-zero dense-vs-star last-ulp boundary disagreement cannot
     duplicate a pair.
 
+    ``nprobe`` (IVF only) is the same lever for the quantizer: probe rank
+    r keys every row by its (r+1)-th best centroid, so rows sharing ANY of
+    their top-``nprobe`` lists become candidates — the per-row multi-probe
+    analog of the single-query ``ivf_topk`` probe, merged identically.
+
     ``engine="batched"`` (default, production): one cheap per-key count
     aggregate (≤2^n_planes rows, broadcast back), then under-cap keys go
     through a per-bucket ``applyInPandas`` matmul — a BLAS call per bucket,
@@ -853,11 +868,18 @@ def knn_join(
             e.withColumn("key", _bucket_col("emb", n_planes, table=t))
             for t in range(n_tables)
         ]
+        if nprobe != 1:
+            raise ValueError("nprobe > 1 applies to method='ivf' only")
     elif method == "ivf":
         if n_tables != 1:
             raise ValueError("n_tables > 1 applies to method='lsh' only")
+        if not 1 <= nprobe <= n_centroids:
+            raise ValueError(f"nprobe must be in [1, {n_centroids}]")
         keyed = [
-            e.withColumn("key", ivf_assign_batched(n_centroids)(F.col("emb")))
+            e.withColumn(
+                "key", ivf_assign_batched(n_centroids, rank=r)(F.col("emb"))
+            )
+            for r in range(nprobe)
         ]
     else:
         raise ValueError(f"method must be 'lsh' or 'ivf', got {method!r}")

@@ -447,3 +447,32 @@ def test_knn_join_auto_planes_resolves_from_count(spark, embeddings):
         for r in knn_join(embeddings, n_planes="auto").collect()
     }
     assert auto == base
+
+
+def test_knn_join_ivf_nprobe_recall(spark, embeddings):
+    """Per-row IVF multi-probe: probing each row's top-2 lists can only
+    widen the candidate union, so recall vs exact kNN must not drop."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cpp_paddle_ocr_spark.operators.similarity import (
+        _knn_one_table,
+        knn_join,
+    )
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("key", F.lit(0))
+    truth = _knn_pairs(_knn_one_table(e, 5, 10**9, "batched"))
+
+    p1 = _knn_pairs(knn_join(embeddings, method="ivf", nprobe=1))
+    p2 = _knn_pairs(knn_join(embeddings, method="ivf", nprobe=2))
+    r1 = len(p1 & truth) / len(truth)
+    r2 = len(p2 & truth) / len(truth)
+    assert r2 >= r1, (r1, r2)
+    assert r2 > 0
+
+    with _pytest.raises(ValueError, match="nprobe"):
+        knn_join(embeddings, method="lsh", nprobe=2)
+    with _pytest.raises(ValueError, match="nprobe"):
+        knn_join(embeddings, method="ivf", nprobe=0)
