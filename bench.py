@@ -116,6 +116,7 @@ def main() -> None:
         # fold form stays the driver-oracle path only
         ("sim_ivf_ann", similarity.q_ivf_ann_batched),
         ("sim_knn_join", similarity.q_knn_join_batched),
+        ("sim_knn_multitable", similarity.QUERIES["sim_knn_multitable"]),
         # cluster resolution: verified pairs → connected components
         ("dedup_clusters", clustering.QUERIES["dedup_clusters"]),
         ("sim_semantic_clusters", clustering.q_semantic_clusters_batched),

@@ -199,9 +199,10 @@ def _plane_dot_sql(emb: str, j: int) -> str:
     )
 
 
-def _bucket_sql(emb: str) -> str:
+def _bucket_sql(emb: str, table: int = 0) -> str:
     return " + ".join(
-        f"(CASE WHEN {_plane_dot_sql(emb, j)} > 0 THEN {1 << j} ELSE 0 END)"
+        f"(CASE WHEN {_plane_dot_sql(emb, table * N_PLANES + j)} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
         for j in range(N_PLANES)
     )
 
@@ -986,3 +987,51 @@ def q_knn_join_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_knn_join"] = q_knn_join
 ORACLES["sim_knn_join"] = KNN_JOIN_SQL
+
+
+# Multi-table oracle: UNION (distinct) of the per-table pair sets — pairs
+# found by both tables carry the identical cosine, so the distinct IS the
+# Spark side's pair-key max-merge — then one global rank. Ranking over ALL
+# union pairs equals Spark's rank over the union of per-table TOP-K's by
+# containment: a pair with global row_number ≤ k has fewer than k
+# predecessors in the (cosine DESC, neighbor ASC) order globally, hence
+# fewer within its own table, hence table rank ≤ k — so it survives into
+# the Spark-side union. Oracle scale stays under BUCKET_CAP per bucket
+# (same no-star caveat as KNN_JOIN_SQL; the star arm is skew-test-pinned).
+KNN_MULTITABLE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         ({_bucket_sql('(embedding::DOUBLE[])', 0)}) AS key0,
+         ({_bucket_sql('(embedding::DOUBLE[])', 1)}) AS key1,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
+  FROM e a JOIN e b ON a.key0 = b.key0 AND a.vec_id <> b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id,
+         round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6)
+  FROM e a JOIN e b ON a.key1 = b.key1 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS knn_rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, cosine, knn_rank
+FROM ranked WHERE knn_rank <= {KNN_K}
+"""
+
+
+def q_knn_join_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table LSH kNN as a full-oracle driver entry (engine="expr" for
+    the sequential-fold bit-parity the single-table entry pins)."""
+    return knn_join(load(spark, sf_dir, "embeddings"), engine="expr", n_tables=2)
+
+
+QUERIES["sim_knn_multitable"] = q_knn_join_multitable
+ORACLES["sim_knn_multitable"] = KNN_MULTITABLE_SQL

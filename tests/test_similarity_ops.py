@@ -476,3 +476,24 @@ def test_knn_join_ivf_nprobe_recall(spark, embeddings):
         knn_join(embeddings, method="lsh", nprobe=2)
     with _pytest.raises(ValueError, match="nprobe"):
         knn_join(embeddings, method="ivf", nprobe=0)
+
+
+def test_lsh_neardup_multi_table_superset(spark, embeddings):
+    """With no over-cap buckets, table 0's pair set is contained in the
+    multi-table union, and extra tables can only add verified pairs (every
+    emitted pair is exact-cosine-checked, so precision stays 1)."""
+    from cpp_paddle_ocr_spark.operators.similarity import lsh_neardup_pairs
+
+    thresh = 0.3  # fixture embeddings are decorrelated; 0.9 yields no pairs
+    one = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_neardup_pairs(embeddings, thresh=thresh, n_planes=12).collect()
+    }
+    many = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_neardup_pairs(
+            embeddings, thresh=thresh, n_planes=12, n_tables=3
+        ).collect()
+    }
+    assert one <= many
+    assert len(many) >= len(one)
