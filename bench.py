@@ -125,6 +125,8 @@ def main() -> None:
         ("repetition_filter", text_analysis.QUERIES["repetition_filter"]),
         ("chunk_documents", text_analysis.QUERIES["chunk_documents"]),
         ("hash_sample", text_analysis.QUERIES["hash_sample"]),
+        ("term_stats", text_analysis.QUERIES["term_stats"]),
+        ("vocab_topk", text_analysis.QUERIES["vocab_topk"]),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),

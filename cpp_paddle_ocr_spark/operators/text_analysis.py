@@ -384,6 +384,100 @@ WHERE top_bigram_frac <= {REP_MAX_TOP_BIGRAM}
 """
 
 
+# --- corpus vocabulary / term statistics -------------------------------------
+#
+# The tokenizer-training prep step of an LLM data pipeline: corpus-level
+# term frequency, document frequency, and idf per token, plus the top-K
+# vocabulary. Scale shape: one explode of one scan into a hash aggregate
+# keyed by token — hot tokens ("the") are exactly what map-side partial
+# aggregation flattens, so the shuffle carries one partial row per
+# (partition, token), not one row per occurrence; the total-docs scalar is
+# a broadcast single-row cross join. No joins on skewed keys, no windows.
+
+VOCAB_K = 200
+
+
+def term_stats(df: DataFrame) -> DataFrame:
+    """Per-token corpus statistics: ``(tok, tf, doc_freq, idf)``.
+
+    ``tf`` = total occurrences, ``doc_freq`` = documents containing the
+    token, ``idf`` = round(ln(N / doc_freq), 6) with N = total documents
+    in the table (NULL-text docs count toward N, matching the standard
+    smooth-free textbook idf; they simply contribute no tokens).
+    """
+    toks = df.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    total = df.select(F.count("*").cast("double").alias("n_docs"))
+    agg = toks.groupBy("tok").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "tf",
+        "doc_freq",
+        F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias("idf"),
+    )
+
+
+TERM_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents
+),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT tok,
+       count(*) AS tf,
+       count(DISTINCT doc_id) AS doc_freq,
+       round(ln(n_docs / count(DISTINCT doc_id)), 6) AS idf
+FROM toks, total
+GROUP BY tok, n_docs
+"""
+
+
+def vocab_topk(df: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """The top-``k`` vocabulary by total frequency (ties: token ascending)
+    with a dense ``vocab_id`` — the deterministic seed vocabulary a
+    BPE-style tokenizer run starts from.
+
+    Scale shape: ``orderBy().limit(k)`` plans as TakeOrderedAndProject —
+    each partition keeps its local top-k and only k rows reach the driver
+    stage — NOT a global row_number window, which would sort every distinct
+    token of the corpus in one partition. The id-assigning window then runs
+    over just the k survivors."""
+    from pyspark.sql import Window
+
+    top = (
+        term_stats(df)
+        .select("tok", "tf")
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    return top.withColumn("vocab_id", F.row_number().over(w))
+
+
+VOCAB_TOPK_SQL = f"""
+WITH ts AS (
+  SELECT tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT tok, tf,
+       CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS INT) AS vocab_id
+FROM ts
+QUALIFY vocab_id <= {VOCAB_K}
+"""
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_stats(load(spark, sf_dir, "documents"))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load(spark, sf_dir, "documents"))
 
@@ -517,6 +611,8 @@ ORACLES = {
     "repetition_filter": REPETITION_FILTER_SQL,
     "chunk_documents": CHUNK_SQL,
     "hash_sample": HASH_SAMPLE_SQL,
+    "term_stats": TERM_STATS_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
 }
 
 QUERIES = {
@@ -528,4 +624,6 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "chunk_documents": q_chunk_documents,
     "hash_sample": q_hash_sample,
+    "term_stats": q_term_stats,
+    "vocab_topk": q_vocab_topk,
 }

@@ -161,3 +161,36 @@ def test_per_row_udf_matches_batch_stats(spark):
         assert r.top_bigram_frac == b.top_bigram_frac, r.doc_id
         assert r.dup_trigram_frac == b.dup_trigram_frac, r.doc_id
         assert r.token_entropy == b.token_entropy, r.doc_id
+
+
+def test_term_stats_hand_computed(spark):
+    import math
+
+    from cpp_paddle_ocr_spark.operators.text_analysis import term_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, None)], "doc_id bigint, text string"
+    )
+    got = {r.tok: r for r in term_stats(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert (got["a"].tf, got["a"].doc_freq) == (2, 1)
+    assert (got["b"].tf, got["b"].doc_freq) == (2, 2)
+    assert (got["c"].tf, got["c"].doc_freq) == (1, 1)
+    # N=3 includes the NULL-text doc (it contributes no tokens)
+    assert got["a"].idf == round(math.log(3 / 1), 6)
+    assert got["b"].idf == round(math.log(3 / 2), 6)
+
+
+def test_vocab_topk_deterministic_order(spark):
+    from cpp_paddle_ocr_spark.operators.text_analysis import vocab_topk
+
+    df = spark.createDataFrame(
+        [(0, "x x y z"), (1, "y x w")], "doc_id bigint, text string"
+    )
+    rows = sorted(vocab_topk(df, k=3).collect(), key=lambda r: r.vocab_id)
+    # tf: x=3, y=2, w=1, z=1 -> ties broken token-ascending
+    assert [(r.tok, r.tf, r.vocab_id) for r in rows] == [
+        ("x", 3, 1),
+        ("y", 2, 2),
+        ("w", 1, 3),
+    ]
