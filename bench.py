@@ -32,6 +32,7 @@ from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     corpus,
     dedup,
     layout,
+    quantize,
     relational,
     similarity,
     text_analysis,
@@ -117,6 +118,7 @@ def main() -> None:
         ("sim_ivf_ann", similarity.q_ivf_ann_batched),
         ("sim_knn_join", similarity.q_knn_join_batched),
         ("sim_knn_multitable", similarity.QUERIES["sim_knn_multitable"]),
+        ("emb_quantize_report", quantize.QUERIES["emb_quantize_report"]),
         # cluster resolution: verified pairs → connected components
         ("dedup_clusters", clustering.QUERIES["dedup_clusters"]),
         ("sim_semantic_clusters", clustering.q_semantic_clusters_batched),
