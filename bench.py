@@ -117,7 +117,7 @@ def main() -> None:
         # fold form stays the driver-oracle path only
         ("sim_ivf_ann", similarity.q_ivf_ann_batched),
         ("sim_knn_join", similarity.q_knn_join_batched),
-        ("sim_knn_multitable", similarity.QUERIES["sim_knn_multitable"]),
+        ("sim_knn_multitable", similarity.q_knn_join_multitable_batched),
         ("emb_quantize_report", quantize.QUERIES["emb_quantize_report"]),
         # cluster resolution: verified pairs → connected components
         ("dedup_clusters", clustering.QUERIES["dedup_clusters"]),

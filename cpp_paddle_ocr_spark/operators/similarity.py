@@ -1033,5 +1033,11 @@ def q_knn_join_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(load(spark, sf_dir, "embeddings"), engine="expr", n_tables=2)
 
 
+def q_knn_join_multitable_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production engine at n_tables=2 — the BENCHED form (the oracle
+    entry pins expr for DuckDB bit-parity; engines agree test-pinned)."""
+    return knn_join(load(spark, sf_dir, "embeddings"), n_tables=2)
+
+
 QUERIES["sim_knn_multitable"] = q_knn_join_multitable
 ORACLES["sim_knn_multitable"] = KNN_MULTITABLE_SQL
