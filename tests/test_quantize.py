@@ -61,3 +61,53 @@ def test_ann_topk_preserved_on_dequantized(spark):
     orig = [r.vec_id for r in cosine_topk(emb).collect()]
     requant = [r.vec_id for r in cosine_topk(deq).collect()]
     assert len(set(orig) & set(requant)) >= 9
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_vec = st.lists(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=4,
+    max_size=16,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_vec, min_size=1, max_size=12))
+def test_codec_invariants_random_vectors(spark, vecs):
+    """For arbitrary float32 vectors: codes stay in [-127,127], the
+    reconstruction error is bounded by scale/2, and dequantize(quantize(v))
+    of a zero vector is exactly zero."""
+    # pad ragged vectors to a common length (codec is per-vector, but the
+    # DataFrame column wants one array type; padding with 0.0 is neutral)
+    width = max(len(v) for v in vecs)
+    rows = [(i, v + [0.0] * (width - len(v))) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    deq = {
+        r.vec_id: r.deq
+        for r in quantize_embeddings(df)
+        .select("vec_id", dequantize().alias("deq"))
+        .collect()
+    }
+    for i, v in rows:
+        q = out[i]
+        assert all(-127 <= c <= 127 for c in q.qemb), q.qemb
+        bound = q.scale / 2 + 1e-9 * max(1.0, q.scale)
+        orig = [float(np_f32(x)) for x in v]
+        for o, d in zip(orig, deq[i]):
+            assert abs(o - d) <= bound, (o, d, q.scale)
+        if q.scale == 0.0:
+            assert all(c == 0 for c in q.qemb)
+
+
+def np_f32(x):
+    import numpy as np
+
+    return np.float32(x)
