@@ -19,6 +19,7 @@ from cpp_paddle_ocr_spark.operators import (
     clustering,
     corpus,
     dedup,
+    governance,
     layout,
     quantize,
     relational,
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(clustering.QUERIES)
     q.update(corpus.QUERIES)
     q.update(quantize.QUERIES)
+    q.update(governance.QUERIES)
     # extraction cascade (fused + staged): full-oracle via the committed
     # golden TSV — the fixture rows are a prefix of the golden set
     q["extract_pages"] = _q_extract_pages
@@ -209,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(clustering.ORACLES)
     o.update(corpus.ORACLES)
     o.update(quantize.ORACLES)
+    o.update(governance.ORACLES)
     o["extract_golden_parity"] = _EXTRACT_GOLDEN_SQL
     o["multimodal_meta"] = _MEDIA_META_SQL
     o["status_windowed"] = _WINDOWED_QUALITY_SQL

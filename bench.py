@@ -31,6 +31,7 @@ from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     clustering,
     corpus,
     dedup,
+    governance,
     layout,
     quantize,
     relational,
@@ -129,6 +130,11 @@ def main() -> None:
         ("hash_sample", text_analysis.QUERIES["hash_sample"]),
         ("term_stats", text_analysis.QUERIES["term_stats"]),
         ("vocab_topk", text_analysis.QUERIES["vocab_topk"]),
+        ("domain_stats", governance.QUERIES["domain_stats"]),
+        ("domain_cap", governance.QUERIES["domain_cap"]),
+        ("decontaminate", governance.QUERIES["decontaminate"]),
+        ("pack_chunks", governance.QUERIES["pack_chunks"]),
+        ("pii_redact", governance.QUERIES["pii_redact"]),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),

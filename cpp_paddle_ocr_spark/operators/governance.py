@@ -1,0 +1,439 @@
+"""Corpus-governance operators: the budget/safety layer of a training-data
+pipeline. Per-domain statistics and capping (FineWeb/Dolma-style domain
+budgets), eval-set decontamination (GPT-3-style n-gram overlap against a
+held-out benchmark split), deterministic training-sequence packing, and PII
+scan/redaction — each over the ``documents`` table, each with a full DuckDB
+value oracle.
+
+These transplant the reference's *cap-and-bound* discipline to corpus scope:
+the per-page candidate cap (``src/postprocess_op.cpp:260``, max 1000) becomes
+a per-domain document cap; the fixed batch-size packing of the rec stage
+(``src/ocr_worker.cpp:60``, ``rec_batch_num=16``) becomes fixed-token-budget
+sequence packing; the skew-aware dispatch of the worker pool
+(``src/cpu_worker_pool.cpp:43-56``) becomes the salted two-stage top-N that
+keeps a mega-domain from serializing into one partition's sort.
+
+Scale shapes (100 TB):
+* ``domain_stats`` — one hash aggregation keyed by domain; map-side partial
+  combine carries one row per (partition, domain).
+* ``domain_cap`` — two-stage salted top-N: stage 1 ranks within
+  (domain, salt) so the biggest domain splits across ``n_salts`` spillable
+  sort partitions and forwards at most ``cap`` rows per salt; stage 2 ranks
+  the ≤ cap·n_salts survivors per domain. A single global window over a
+  skewed domain column would sort the whole crawl's largest host in one
+  task — the two-stage form bounds that sort to cap·n_salts rows.
+* ``decontaminate`` — the eval split is a small hash-bucket of the corpus;
+  its distinct shingle set is broadcast, so the training side never
+  shuffles: scan → explode → broadcast-hash left join → per-doc hash agg.
+* ``pack_chunks`` — cumulative-sum binning inside hash buckets: the only
+  shuffle is the bucket repartition; each bucket's running total is an
+  independent window, so parallelism = n_buckets regardless of corpus size
+  and the assignment is deterministic under any input partitioning.
+* ``pii_scan_redact`` — pure per-row JVM regex projection; scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from .common import h28, h28_sql, h60, h60_sql, load, tokens, tokens_sql
+from .text_analysis import chunk_documents
+
+# --- per-domain statistics ---------------------------------------------------
+
+DOMAIN_CAP = 15
+CAP_SALTS = 8
+
+
+def domain_stats(df: DataFrame) -> DataFrame:
+    """Per-domain corpus accounting: document count, total/mean chars,
+    distinct languages — the inputs a domain-budget policy reads."""
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+    )
+
+
+DOMAIN_STATS_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs,
+       round(avg(n_chars), 6) AS mean_chars
+FROM documents
+GROUP BY source
+"""
+
+
+def domain_cap(
+    df: DataFrame, cap: int = DOMAIN_CAP, n_salts: int = CAP_SALTS
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, preferring longer
+    documents (``n_chars`` desc, ``doc_id`` asc tie-break) — the domain
+    budget that stops one mega-host from dominating the corpus mix.
+
+    Two-stage salted top-N: the global top-``cap`` of a domain is a subset
+    of the union of per-salt top-``cap``s (each global winner lands in
+    exactly one salt and at most ``cap − 1`` same-domain rows can outrank
+    it there), so stage 2 sees ≤ cap·n_salts rows per domain no matter how
+    skewed the crawl is. Output rank is the exact global rank.
+    """
+    salt = F.pmod(h28(F.col("doc_id").cast("string")), F.lit(n_salts))
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy(F.col("source"), salt).orderBy(*order)
+    w2 = Window.partitionBy("source").orderBy(*order)
+    local = df.select("doc_id", "source", "n_chars").withColumn(
+        "local_rank", F.row_number().over(w1)
+    )
+    return (
+        local.filter(F.col("local_rank") <= cap)
+        .withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= cap)
+        .select("doc_id", "source", "n_chars", "domain_rank")
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC) AS INT)
+         AS domain_rank
+FROM documents
+QUALIFY domain_rank <= {DOMAIN_CAP}
+"""
+
+
+# --- eval-set decontamination ------------------------------------------------
+
+SHINGLE = 3  # production pipelines use 13-grams (GPT-3); 3 keeps the
+#              fixture corpus's overlap statistics non-degenerate
+EVAL_PCT = 5  # held-out benchmark split = md5 bucket of doc_id, like
+#               hash_sample — stable across engines and partitionings
+
+
+def _shingle_expr(shingle: int) -> str:
+    """Token ``shingle``-grams as a SQL expression over array column ``t``.
+
+    Same tail discipline as the repetition grams (CLAUDE.md #11):
+    ``sequence(1, 0)`` counts DOWN in Spark, so the range is guarded with
+    ``greatest(..., 1)`` and partial tail grams are dropped by the
+    NULL-filter (``try_element_at`` past the end → ``concat`` → NULL).
+    """
+    parts = ", ' ', ".join(
+        f"try_element_at(t, i + {j})" for j in range(shingle)
+    )
+    return (
+        f"filter(transform(sequence(1, greatest(size(t) - {shingle - 1}, 1)),"
+        f" i -> concat({parts})), s -> s is not null)"
+    )
+
+
+def _eval_bucket(col: Column) -> Column:
+    return F.pmod(h60(col.cast("string")), F.lit(100))
+
+
+def _shingled(df: DataFrame, shingle: int) -> DataFrame:
+    return (
+        df.filter(F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.explode(F.expr(_shingle_expr(shingle))).alias("shingle"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    shingle: int = SHINGLE,
+    eval_pct: int = EVAL_PCT,
+    eval_df: DataFrame | None = None,
+) -> DataFrame:
+    """Flag training documents that share any token ``shingle``-gram with
+    the held-out eval set: per contaminated doc, its distinct-shingle
+    count, the number of shingles also present in the eval set, and the
+    hit fraction.
+
+    The eval side's distinct shingles are the small side and are
+    broadcast; the training side is scan → explode → distinct → map-side
+    broadcast join → per-doc agg, so the big side's only shuffle keys are
+    the 8-byte ``doc_id`` (and the per-shingle distinct, whose keys are
+    per-doc-bounded).
+
+    Two eval sources: the production form passes ``eval_df`` — the actual
+    benchmark table, typically a few thousand rows — and the big side is
+    scanned ONCE. Without it, the eval set is the md5 ``doc_id`` bucket
+    under ``eval_pct`` of ``df`` itself (a deterministic self-split, the
+    driver-oracle form); that form scans the corpus twice, because
+    Catalyst has no cross-branch subplan reuse (finding 15 /
+    CLAUDE.md #13) and the bucket predicate is an expression parquet
+    can't prune — acceptable for the demo split, not the 100 TB path.
+    """
+    if eval_df is not None:
+        eval_shingles = (
+            _shingled(eval_df, shingle)
+            .select("shingle")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        train = _shingled(df, shingle)
+        return _contamination_agg(train, eval_shingles)
+    shingled = _shingled(df, shingle)
+    bucket = _eval_bucket(F.col("doc_id"))
+    eval_shingles = (
+        shingled.filter(bucket < eval_pct)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = shingled.filter(bucket >= eval_pct)
+    return _contamination_agg(train, eval_shingles)
+
+
+def _contamination_agg(train: DataFrame, eval_shingles: DataFrame) -> DataFrame:
+    return (
+        train.join(F.broadcast(eval_shingles), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
+        )
+    )
+
+
+def _decontaminate_sql(shingle: int, eval_pct: int) -> str:
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(shingle))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+  WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - {shingle - 1})) g(i)
+),
+ev AS (
+  SELECT DISTINCT shingle FROM sh
+  WHERE {h60_sql('CAST(doc_id AS VARCHAR)')} % 100 < {eval_pct}
+),
+tr AS (
+  SELECT * FROM sh
+  WHERE {h60_sql('CAST(doc_id AS VARCHAR)')} % 100 >= {eval_pct}
+)
+SELECT tr.doc_id,
+       count(*) AS n_shingles,
+       count(ev.shingle) AS n_hits,
+       round(count(ev.shingle) / count(*), 6) AS hit_frac
+FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
+HAVING count(ev.shingle) > 0
+"""
+
+
+DECONTAMINATE_SQL = _decontaminate_sql(SHINGLE, EVAL_PCT)
+
+
+# --- training-sequence packing -----------------------------------------------
+
+PACK_CHUNK_TOKENS = 32
+PACK_BUDGET = 48
+PACK_BUCKETS = 16
+
+
+def pack_chunks(
+    df: DataFrame,
+    chunk_tokens: int = PACK_CHUNK_TOKENS,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Assign non-overlapping token chunks to fixed-budget training
+    sequences — the concat-and-cut packing step before a training run.
+
+    Chunks are ordered deterministically within md5 hash buckets of
+    ``doc_id``; a running token total (window cumsum, ROWS frame) places
+    each chunk at ``tok_offset`` inside sequence ``seq_id =
+    floor(cum_before / budget)`` of its bucket. A chunk straddling a budget
+    boundary belongs to the sequence where it starts (standard
+    concatenated-LM packing: the cut is a training-time slice, the
+    assignment is where the chunk begins). Buckets make the global-order
+    cumsum parallel: each bucket's window is independent, so the plan is
+    one hash repartition + per-bucket sort, with parallelism ``n_buckets``
+    at any corpus size — and the assignment is partitioning-independent,
+    so re-running on a differently-laid-out table packs identically.
+    """
+    ch = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=0).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens"
+    )
+    ch = ch.withColumn(
+        "bucket", F.pmod(h28(F.col("doc_id").cast("string")), F.lit(n_buckets))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0)).cast("long")
+    seq_id = F.floor(cum / budget)
+    return ch.select(
+        "bucket",
+        seq_id.alias("seq_id"),
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        (cum - seq_id * budget).alias("tok_offset"),
+    )
+
+
+PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+  WHERE text IS NOT NULL
+),
+chunks AS (
+  SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+         len(t[g.i * {PACK_CHUNK_TOKENS} + 1
+               : g.i * {PACK_CHUNK_TOKENS} + {PACK_CHUNK_TOKENS}])
+           AS n_chunk_tokens
+  FROM toks,
+       unnest(generate_series(0,
+         greatest(CAST(ceil(len(t) / {PACK_CHUNK_TOKENS}.0) AS INT) - 1, 0)))
+         g(i)
+),
+b AS (
+  SELECT *, {h28_sql('CAST(doc_id AS VARCHAR)')} % {PACK_BUCKETS} AS bucket
+  FROM chunks
+),
+c AS (
+  SELECT *,
+         CAST(coalesce(sum(n_chunk_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM b
+)
+SELECT bucket,
+       CAST(floor(cum / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       doc_id, chunk_idx, n_chunk_tokens,
+       cum - CAST(floor(cum / {PACK_BUDGET}.0) AS BIGINT) * {PACK_BUDGET}
+         AS tok_offset
+FROM c
+"""
+
+
+# --- PII scan / redaction ----------------------------------------------------
+#
+# Group-free patterns in the Java-regex ∩ RE2 common subset (no backrefs,
+# no lookaround) so Spark and DuckDB match identically.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2} \d{3}-\d{3}-\d{4}"
+
+
+def pii_scan_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII accounting and redaction over ``text_col``: match
+    counts for email / IPv4 / phone patterns, plus the text with each
+    match class replaced by its placeholder token (emails first — an
+    address can embed digit runs, never vice versa). Pure JVM regex
+    projection: scan-bound at any scale, no Python, no shuffle."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def _pii_aug() -> Column:
+    """Deterministic PII augmentation for the driver entry: the synthetic
+    corpus contains no digits (TESTDATA is digit-free by construction), so
+    the oracle plants one email, IP, and phone per row — derived from
+    ``doc_id`` identically in both engines — to exercise the match and
+    redaction semantics for real rather than vacuously."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (d % 256).cast("string"),
+        F.lit(".7 call +1 555-010-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+
+
+_PII_AUG_SQL = (
+    "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call +1 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+PII_REDACT_SQL = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS a FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(a, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(a, '{IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(a, '{PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(a,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{IPV4_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+
+# --- driver wiring -----------------------------------------------------------
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_stats(load(spark, sf_dir, "documents"))
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_cap(load(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(load(spark, sf_dir, "documents"))
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_chunks(load(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return pii_scan_redact(docs.withColumn("pii_text", _pii_aug()), "pii_text")
+
+
+ORACLES = {
+    "domain_stats": DOMAIN_STATS_SQL,
+    "domain_cap": DOMAIN_CAP_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
+    "pack_chunks": PACK_SQL,
+    "pii_redact": PII_REDACT_SQL,
+}
+
+QUERIES = {
+    "domain_stats": q_domain_stats,
+    "domain_cap": q_domain_cap,
+    "decontaminate": q_decontaminate,
+    "pack_chunks": q_pack_chunks,
+    "pii_redact": q_pii_redact,
+}

@@ -1,0 +1,180 @@
+"""Behavior tests for the corpus-governance operators (domain capping,
+decontamination, sequence packing, PII redaction). Cross-engine value parity
+is covered by ``test_oracle_parity.py``; these pin the operator invariants
+on crafted skew/PII/contamination fixtures the synthetic tables can't
+express."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_paddle_ocr_spark.operators.governance import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    decontaminate,
+    domain_cap,
+    pack_chunks,
+    pii_scan_redact,
+)
+
+
+def _eval_bucket_py(doc_id: int) -> int:
+    """Python mirror of the md5 eval-split bucket (h60 % 100)."""
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+
+def _doc(doc_id, text, lang="en", source="src0"):
+    return (doc_id, text, lang, source, len(text) if text else 0)
+
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """3 domains with 150/40/10 docs; n_chars collides heavily so the
+    doc_id tie-break is exercised."""
+    rows = []
+    did = 0
+    for source, n in [("big.example", 150), ("mid.example", 40), ("tiny.example", 10)]:
+        for i in range(n):
+            text = "tok " * (10 + (i * 7) % 25)
+            rows.append(_doc(did, text.strip(), source=source))
+            did += 1
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_domain_cap_matches_single_window(spark, skewed_docs):
+    """The salted two-stage top-N must equal the naive single-window
+    global top-N exactly (ranks included), for several salt widths."""
+    rows = skewed_docs.select("doc_id", "source", "n_chars").collect()
+    expected = {}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: (-r.n_chars, r.doc_id))
+        for rank, r in enumerate(docs[:15], start=1):
+            expected[r.doc_id] = (src, r.n_chars, rank)
+    for n_salts in (1, 4, 8):
+        got = {
+            r.doc_id: (r.source, r.n_chars, r.domain_rank)
+            for r in domain_cap(skewed_docs, cap=15, n_salts=n_salts).collect()
+        }
+        assert got == expected, f"n_salts={n_salts}"
+
+
+def test_domain_cap_bound(spark, skewed_docs):
+    out = domain_cap(skewed_docs, cap=7).groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in out}
+    assert counts == {"big.example": 7, "mid.example": 7, "tiny.example": 7}
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc sharing a trigram with an eval doc is flagged with the
+    exact hit count; a disjoint train doc is absent."""
+    eval_id = next(i for i in range(1000) if _eval_bucket_py(i) < 5)
+    train_ids = [i for i in range(1000) if _eval_bucket_py(i) >= 5][:2]
+    docs = spark.createDataFrame(
+        [
+            _doc(eval_id, "alpha beta gamma delta"),
+            # shares the shingles 'alpha beta gamma' and 'beta gamma delta'
+            _doc(train_ids[0], "zz alpha beta gamma delta yy"),
+            _doc(train_ids[1], "uu vv ww xx"),
+        ],
+        _SCHEMA,
+    )
+    out = {r.doc_id: r for r in decontaminate(docs).collect()}
+    assert set(out) == {train_ids[0]}
+    hit = out[train_ids[0]]
+    assert hit.n_hits == 2 and hit.n_shingles == 4
+    assert hit.hit_frac == 0.5
+
+
+def test_decontaminate_eval_df_path(spark):
+    """Production form: eval shingles come from a separate benchmark
+    table; the big side is scanned once (no self-split re-scan) and no
+    hash-bucket exclusion applies."""
+    train = spark.createDataFrame(
+        [
+            _doc(10, "zz alpha beta gamma delta yy"),
+            _doc(11, "uu vv ww xx"),
+        ],
+        _SCHEMA,
+    )
+    bench = spark.createDataFrame(
+        [_doc(900, "alpha beta gamma delta")], _SCHEMA
+    )
+    out = {r.doc_id: r for r in decontaminate(train, eval_df=bench).collect()}
+    assert set(out) == {10}
+    assert out[10].n_hits == 2 and out[10].n_shingles == 4
+    # plan: the train side appears once (the self-split form needs two)
+    plan = (
+        decontaminate(train, eval_df=bench)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("LogicalRDD") == 2  # one per table, not three
+
+
+def test_pack_chunks_invariants(spark, skewed_docs):
+    budget, chunk = 48, 32
+    ch = pack_chunks(skewed_docs, chunk_tokens=chunk, budget=budget).collect()
+    n_chunks_in = sum(
+        -(-len(r.text.split()) // chunk) for r in skewed_docs.collect()
+    )
+    assert len(ch) == n_chunks_in  # every chunk assigned exactly once
+    per_seq = {}
+    per_bucket = {}
+    for r in ch:
+        assert 0 <= r.tok_offset < budget
+        per_seq.setdefault((r.bucket, r.seq_id), 0)
+        per_seq[(r.bucket, r.seq_id)] += r.n_chunk_tokens
+        per_bucket.setdefault(r.bucket, set()).add(r.seq_id)
+    # a chunk starting before the boundary may straddle it: per-sequence
+    # total is bounded by budget + chunk − 1, and sequences are contiguous
+    for total in per_seq.values():
+        assert total <= budget + chunk - 1
+    for seqs in per_bucket.values():
+        assert seqs == set(range(max(seqs) + 1))
+
+
+def test_pack_chunks_partitioning_independent(spark, skewed_docs):
+    a = sorted(map(tuple, pack_chunks(skewed_docs).collect()))
+    b = sorted(map(tuple, pack_chunks(skewed_docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_pii_redact_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            _doc(0, "mail a.user+tag@corp.example.org and b@x.io now"),
+            _doc(1, "host 192.168.0.1 peer 10.255.3.77"),
+            _doc(2, "dial +1 555-010-0042 ok"),
+            _doc(3, "clean text with no identifiers at all"),
+        ],
+        _SCHEMA,
+    )
+    out = {r.doc_id: r for r in pii_scan_redact(docs).collect()}
+    assert (out[0].n_emails, out[0].n_ips, out[0].n_phones) == (2, 0, 0)
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (0, 2, 0)
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 0, 1)
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+    assert out[0].redacted == "mail <EMAIL> and <EMAIL> now"
+    assert out[1].redacted == "host <IP> peer <IP>"
+    assert out[2].redacted == "dial <PHONE> ok"
+    assert out[3].redacted == "clean text with no identifiers at all"
+    for r in out.values():
+        for pat in (EMAIL_RE, IPV4_RE, PHONE_RE):
+            assert not re.search(pat, r.redacted)
+
+
+def test_pii_null_text_row(spark):
+    docs = spark.createDataFrame([(5, None, "en", "s", 0)], _SCHEMA)
+    out = pii_scan_redact(docs).collect()
+    assert len(out) == 1 and out[0].redacted is None
