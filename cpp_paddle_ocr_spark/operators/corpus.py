@@ -50,14 +50,24 @@ def corpus_keep(
     df: DataFrame,
     lang: str = KEEP_LANG,
     min_quality: float = MIN_QUALITY,
+    domain_cap_n: int | None = None,
 ) -> DataFrame:
     """The surviving corpus with audit columns: ``(doc_id, pred_lang,
     quality, top_bigram_frac, dup_trigram_frac, token_entropy,
-    cluster_id)`` — rows passing all four gates."""
+    cluster_id)`` — rows passing all four gates.
+
+    ``domain_cap_n`` adds the per-domain budget as a FIFTH gate applied to
+    the *survivors* (capping before the quality gates would leave domains
+    under budget whenever capped-in docs later fail a gate): the
+    ``governance.domain_cap`` salted two-stage top-N ranks the surviving
+    rows per domain and keeps the top ``domain_cap_n``, attaching
+    ``domain_rank`` as an audit column. Costs one extra narrow
+    (doc_id, source, n_chars) scan + the capped window — the driver
+    oracle runs the default (uncapped) form."""
     metrics = df.select("doc_id", *lang_cols(), *quality_cols())
     rep = repetition_stats(df)
     clusters = dedup_clusters(df)
-    return (
+    kept = (
         metrics.join(rep, "doc_id")
         .join(clusters, "doc_id")
         .filter(
@@ -78,6 +88,15 @@ def corpus_keep(
             "cluster_id",
         )
     )
+    if domain_cap_n is None:
+        return kept
+    from .governance import domain_cap
+
+    enriched = kept.join(df.select("doc_id", "source", "n_chars"), "doc_id")
+    capped = domain_cap(enriched, cap=domain_cap_n).select(
+        "doc_id", "domain_rank"
+    )
+    return kept.join(capped, "doc_id")
 
 
 # DEDUP_CLUSTERS_SQL is a complete WITH RECURSIVE query; the other stage

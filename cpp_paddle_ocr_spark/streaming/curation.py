@@ -66,6 +66,7 @@ def curate_stream(
     lang: str = KEEP_LANG,
     min_quality: float = MIN_QUALITY,
     ttl_ms: int | None = None,
+    redact_pii: bool = False,
 ) -> DataFrame:
     """Pages stream → curated, fingerprint-deduplicated text stream.
 
@@ -80,7 +81,14 @@ def curate_stream(
     non-null text). ``ttl_ms`` bounds the dedup state store exactly as in
     ``stateful.dedup_stream`` (both are instantiations of
     ``first_seen_stream`` — one state machine, two keys).
+    ``redact_pii=True`` replaces emails/IPv4s/phones in the gated text
+    with placeholder tokens BEFORE fingerprinting — the exact
+    ``governance.pii_scan_redact`` patterns and placeholders, as a
+    stateless JVM projection (like the lang/quality gates, it needs no
+    corpus state). Fingerprinting the redacted text means two pages
+    differing only in embedded PII deduplicate to one curated row.
     """
+    from ..operators.governance import EMAIL_RE, IPV4_RE, PHONE_RE
     from .ingest import extract_stream
 
     extracted = extract_stream(stream_df)
@@ -107,8 +115,21 @@ def curate_stream(
             & (F.col("dup_trigram_frac") <= REP_MAX_DUP_TRIGRAM)
             & (F.col("token_entropy") >= REP_MIN_ENTROPY)
         )
-        .withColumn("fp", F.md5(F.col("text")))
     )
+    if redact_pii:
+        # gates ran on the raw text (PII does not change quality); the
+        # emitted text and the dedup identity are the redacted form
+        redacted = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+                IPV4_RE,
+                "<IP>",
+            ),
+            PHONE_RE,
+            "<PHONE>",
+        )
+        gated = gated.withColumn("text", redacted)
+    gated = gated.withColumn("fp", F.md5(F.col("text")))
     return first_seen_stream(
         gated,
         key_col="fp",

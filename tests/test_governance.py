@@ -178,3 +178,34 @@ def test_pii_null_text_row(spark):
     docs = spark.createDataFrame([(5, None, "en", "s", 0)], _SCHEMA)
     out = pii_scan_redact(docs).collect()
     assert len(out) == 1 and out[0].redacted is None
+
+
+def test_corpus_keep_domain_budget(spark):
+    """corpus_keep(domain_cap_n=k) == the uncapped survivors ranked per
+    domain and cut at k, with the exact rank attached."""
+    from cpp_paddle_ocr_spark.operators.common import load
+    from cpp_paddle_ocr_spark.operators.corpus import corpus_keep
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    base = {r.doc_id: r for r in corpus_keep(docs).collect()}
+    capped = {r.doc_id: r for r in corpus_keep(docs, domain_cap_n=3).collect()}
+    assert set(capped) <= set(base)
+    # reconstruct the expected cap from the uncapped survivors
+    src = {
+        r.doc_id: (r.source, r.n_chars)
+        for r in docs.select("doc_id", "source", "n_chars").collect()
+    }
+    by_domain = {}
+    for did in base:
+        by_domain.setdefault(src[did][0], []).append(did)
+    expected = {}
+    for domain, ids in by_domain.items():
+        ids.sort(key=lambda d: (-src[d][1], d))
+        for rank, d in enumerate(ids[:3], start=1):
+            expected[d] = rank
+    assert {d: r.domain_rank for d, r in capped.items()} == expected
+    # audit columns preserved alongside the new rank
+    any_row = next(iter(capped.values()))
+    assert {"pred_lang", "quality", "cluster_id", "domain_rank"} <= set(
+        any_row.asDict()
+    )

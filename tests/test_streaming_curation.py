@@ -97,3 +97,75 @@ def test_curate_stream_matches_batch_gates_and_dedups(spark, tmp_path):
         assert r.top_bigram_frac == b.top_bigram_frac
         assert r.dup_trigram_frac == b.dup_trigram_frac
         assert r.token_entropy == b.token_entropy
+
+
+def test_curate_stream_redact_pii(spark, tmp_path):
+    """redact_pii=True: output text is exactly the batch redaction of the
+    plain run's text, fp is md5 of the REDACTED text, and planted PII in a
+    page's content survives extraction and comes out as placeholders."""
+    import re
+
+    from cpp_paddle_ocr_spark.operators.governance import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    in_dir = str(tmp_path / "in")
+    docs = generate_documents(spark, 30, oversize_max=2_000_000)
+    plant = (
+        "<p>please write to alice.smith@mail.example.org for the complete "
+        "report about the spark table and the batch window</p></body>"
+    )
+    # plant only into the simple-page family (i % 20 in 12..16) — other
+    # families include deliberately-garbage bytes that utf-8 decode rejects
+    fam = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("int") % 20
+    planted = docs.withColumn(
+        "html",
+        F.when(
+            fam.between(12, 16),
+            F.encode(
+                F.regexp_replace(
+                    F.decode(F.col("html"), "utf-8"), "</body>", plant
+                ),
+                "utf-8",
+            ),
+        ).otherwise(F.col("html")),
+    )
+    planted.write.parquet(in_dir)
+
+    outs = {}
+    for flag in (False, True):
+        name = f"curated_pii_{int(flag)}"
+        s = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(in_dir)
+        out = curate_stream(s, lang="en", min_quality=0.3, redact_pii=flag)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{int(flag)}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        outs[flag] = {r.url: r for r in spark.sql(f"select * from {name}").collect()}
+
+    assert set(outs[False]) == set(outs[True])
+    assert outs[True], "no curated rows"
+    saw_redaction = False
+    for url, plain in outs[False].items():
+        red = outs[True][url]
+        expect = plain.text
+        for pat, repl in (
+            (EMAIL_RE, "<EMAIL>"),
+            (IPV4_RE, "<IP>"),
+            (PHONE_RE, "<PHONE>"),
+        ):
+            expect = re.sub(pat, repl, expect)
+        assert red.text == expect
+        import hashlib
+
+        assert red.fp == hashlib.md5(red.text.encode()).hexdigest()
+        if "<EMAIL>" in red.text:
+            saw_redaction = True
+            assert "alice.smith@mail.example.org" not in red.text
+    assert saw_redaction, "planted email never reached a curated row"
