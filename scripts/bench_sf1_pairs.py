@@ -35,6 +35,8 @@ from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     clustering,
     corpus,
     dedup,
+    governance,
+    quantize,
     relational,
     similarity,
     text_analysis,
@@ -67,6 +69,15 @@ QUERY_SET = [
     ("hash_sample", text_analysis.QUERIES["hash_sample"]),
     ("status_agg", relational.QUERIES["status_agg"]),
     ("overlap_iou", relational.QUERIES["overlap_iou"]),
+    ("term_stats", text_analysis.QUERIES["term_stats"]),
+    ("vocab_topk", text_analysis.QUERIES["vocab_topk"]),
+    ("emb_quantize_report", quantize.QUERIES["emb_quantize_report"]),
+    ("sim_knn_multitable", similarity.q_knn_join_multitable_batched),
+    ("domain_stats", governance.QUERIES["domain_stats"]),
+    ("domain_cap", governance.QUERIES["domain_cap"]),
+    ("decontaminate", governance.QUERIES["decontaminate"]),
+    ("pack_chunks", governance.QUERIES["pack_chunks"]),
+    ("pii_redact", governance.QUERIES["pii_redact"]),
 ]
 
 N_PAIRS = 3
