@@ -470,12 +470,80 @@ QUALIFY vocab_id <= {VOCAB_K}
 """
 
 
+def encode_documents(
+    df: DataFrame, vocab_df: DataFrame | None = None, k: int = VOCAB_K
+) -> DataFrame:
+    """Encode each document's token stream against the vocabulary — the
+    apply-the-tokenizer step closing the term_stats → vocab_topk chain:
+    ``(doc_id, n_tokens, n_oov, ids)`` with ``ids`` the document-order
+    ``vocab_id`` sequence, out-of-vocabulary tokens as id 0 (``vocab_id``
+    is 1-based by construction, so 0 is free for <unk>).
+
+    ``vocab_df`` is the trained vocabulary (``vocab_topk`` output or any
+    ``(tok, vocab_id)`` table); omitted, it is trained from ``df`` itself.
+    Scale shape: the vocab is k rows and broadcast, so encoding is scan →
+    posexplode → map-side broadcast join → one per-doc hash agg; ids are
+    reassembled order-exactly via ``array_sort`` over (pos, id) structs —
+    ``collect_list`` order is not deterministic under parallel merge, the
+    sort is what pins document order (same scatter-back discipline as the
+    rec stage's R7, ``src/ocr_rec.cpp:126-127``)."""
+    vocab = (vocab_df if vocab_df is not None else vocab_topk(df, k)).select(
+        "tok", "vocab_id"
+    )
+    toks = (
+        df.filter(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("vocab_id"), F.lit(0)).alias("vid")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("vid") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "vid"))),
+            lambda x: x.vid,
+        ).alias("ids"),
+    )
+
+
+ENCODE_SQL = f"""
+WITH v AS ({VOCAB_TOPK_SQL}),
+toks AS (
+  SELECT d.doc_id, g.i AS pos, t[g.i] AS tok
+  FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+        WHERE text IS NOT NULL) d,
+       unnest(generate_series(1, len(t))) g(i)
+)
+SELECT toks.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.vocab_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       string_agg(CAST(coalesce(v.vocab_id, 0) AS VARCHAR), ' '
+                  ORDER BY pos) AS ids_str
+FROM toks LEFT JOIN v ON toks.tok = v.tok
+GROUP BY toks.doc_id
+"""
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_stats(load(spark, sf_dir, "documents"))
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(load(spark, sf_dir, "documents"))
+
+
+def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = encode_documents(load(spark, sf_dir, "documents"))
+    # ids as a space-joined string: the driver compare hashes scalar
+    # columns, and engines stringify native arrays differently
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.concat_ws(" ", F.col("ids").cast("array<string>")).alias("ids_str"),
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,6 +681,7 @@ ORACLES = {
     "hash_sample": HASH_SAMPLE_SQL,
     "term_stats": TERM_STATS_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
+    "encode_documents": ENCODE_SQL,
 }
 
 QUERIES = {
@@ -626,4 +695,5 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "term_stats": q_term_stats,
     "vocab_topk": q_vocab_topk,
+    "encode_documents": q_encode_documents,
 }

@@ -194,3 +194,42 @@ def test_vocab_topk_deterministic_order(spark):
         ("y", 2, 2),
         ("w", 1, 3),
     ]
+
+
+def test_encode_documents_hand_computed(spark):
+    from cpp_paddle_ocr_spark.operators.text_analysis import (
+        encode_documents,
+        vocab_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "x x y z"), (1, "y x w"), (2, None)],
+        "doc_id bigint, text string",
+    )
+    # self-trained vocab (k=2): x->1, y->2; z/w are OOV -> 0
+    got = {r.doc_id: r for r in encode_documents(df, k=2).collect()}
+    assert set(got) == {0, 1}  # NULL-text doc emits no row
+    assert got[0].ids == [1, 1, 2, 0] and got[0].n_oov == 1
+    assert got[1].ids == [2, 1, 0] and got[1].n_oov == 1
+    assert (got[0].n_tokens, got[1].n_tokens) == (4, 3)
+    # external vocab table (the trained-elsewhere form)
+    ext = vocab_topk(spark.createDataFrame([(9, "w w z")], "doc_id bigint, text string"), k=2)
+    got2 = {r.doc_id: r for r in encode_documents(df, vocab_df=ext).collect()}
+    # ext vocab: w->1, z->2
+    assert got2[0].ids == [0, 0, 0, 2]
+    assert got2[1].ids == [0, 0, 1]
+
+
+def test_encode_documents_partitioning_independent(spark):
+    from cpp_paddle_ocr_spark.operators.text_analysis import encode_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(20))) for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    a = sorted((r.doc_id, r.ids) for r in encode_documents(df, k=5).collect())
+    b = sorted(
+        (r.doc_id, r.ids)
+        for r in encode_documents(df.repartition(11), k=5).collect()
+    )
+    assert a == b
