@@ -39,14 +39,19 @@ DIM = 64
 
 
 def auto_n_planes(n_rows: int, bucket_cap: int) -> int:
-    """Bucket bits sized to the corpus: ≈ log2(n / bucket_cap), floored at
-    the 8-plane oracle default — at the default cap this keeps the EXPECTED
-    bucket occupancy under ``bucket_cap`` instead of letting a fixed
-    256-bucket space collapse every operator to the anchor-star recall
-    floor at web scale."""
+    """Bucket bits sized to the corpus: ≈ log2(n / bucket_cap), so the
+    EXPECTED bucket occupancy tracks ``bucket_cap`` at every scale — a
+    fixed 256-bucket space would collapse every operator to the
+    anchor-star recall floor at web scale, and (round-5 symmetric fix,
+    after the plane family carried real bits) an 8-plane FLOOR
+    over-pruned small corpora: at n=500/cap=1024 the whole table fits one
+    bucket's budget, so auto now sizes DOWN to 1 plane there instead of
+    forcing 256 buckets of ~2 rows and recall@5 ≈ 0.17. The fixed
+    ``N_PLANES=8`` default (not auto) remains the committed-oracle
+    geometry."""
     if n_rows <= 0:
         return N_PLANES
-    return max(N_PLANES, math.ceil(math.log2(max(n_rows / bucket_cap, 1.0))))
+    return max(1, math.ceil(math.log2(max(n_rows / bucket_cap, 1.0))))
 
 
 def _dot_expr(a: str, b: str) -> str:
@@ -94,8 +99,22 @@ LIMIT {TOPK}
 """
 
 
+def _plane_sign(i: int, j: int) -> bool:
+    """±1 weight for dimension ``i`` of hyperplane ``j`` (True = +1):
+    bit 16 of a Weyl/LCG integer mix, exact in 64-bit integer arithmetic.
+
+    Round-5 fix: the original closed form ``(i*31 + j*17) % 2`` reduces to
+    the parity of ``i + j`` (both multipliers odd), i.e. ONE hyperplane and
+    its negation for every j — measured as exactly 2 occupied buckets out
+    of 256 on the driver's embeddings tables, which silently turned the
+    n_planes / multi-table / multi-probe levers into no-ops and left every
+    LSH operator at 1 bit of pruning. The mixed form gives each (i, j) an
+    independent-looking sign, so k planes really carry k bits."""
+    return ((i * 2654435761 + j * 1013904223) % 4294967296) >> 16 & 1 == 0
+
+
 def _plane_dot(emb: str, j: int) -> str:
-    """Signed sum for hyperplane j: weight(i) = +1 if (i*31 + j*17) even.
+    """Signed sum for hyperplane j, weights from ``_plane_sign``.
     Multi-table LSH uses globally-offset plane indices (table t, local
     plane j → global plane t·n_planes + j), so every table draws from the
     same closed-form hyperplane family with no overlap.
@@ -108,7 +127,7 @@ def _plane_dot(emb: str, j: int) -> str:
     codegen without per-row lambda dispatch."""
     parts = []
     for i in range(DIM):
-        pos = (i * 31 + j * 17) % 2 == 0
+        pos = _plane_sign(i, j)
         term = f"element_at({emb}, {i + 1})"
         if i == 0:
             parts.append(term if pos else f"(0.0D - {term})")
@@ -192,11 +211,19 @@ def lsh_bucketed_ann(
 
 
 def _plane_dot_sql(emb: str, j: int) -> str:
-    return (
-        f"list_sum(list_transform(generate_series(0, {DIM - 1}), i -> "
-        f"{emb}[i + 1] * (CASE WHEN (i * 31 + {j} * 17) % 2 = 0 "
-        f"THEN 1.0 ELSE -1.0 END)))"
-    )
+    """DuckDB form of ``_plane_dot``: the SAME Python ``_plane_sign``
+    bakes the ± pattern into an unrolled left-associated sum, so sign
+    pattern AND summation order are pinned by one function — no
+    formula-translation risk and no engine-specific reduction order."""
+    parts = []
+    for i in range(DIM):
+        pos = _plane_sign(i, j)
+        term = f"{emb}[{i + 1}]"
+        if i == 0:
+            parts.append(term if pos else f"(0.0 - {term})")
+        else:
+            parts.append(f"{'+' if pos else '-'} {term}")
+    return "(" + " ".join(parts) + ")"
 
 
 def _bucket_sql(emb: str, table: int = 0) -> str:

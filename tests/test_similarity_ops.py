@@ -426,21 +426,33 @@ def test_auto_n_planes_formula():
         auto_n_planes,
     )
 
-    assert auto_n_planes(500, 1024) == N_PLANES  # small corpus: oracle floor
-    assert auto_n_planes(0, 1024) == N_PLANES
+    # small corpus: sizes DOWN (the whole table fits one bucket's budget)
+    assert auto_n_planes(500, 1024) == 1
+    assert auto_n_planes(0, 1024) == N_PLANES  # unknown size: oracle default
     big = auto_n_planes(10**12, 1024)
     assert big == math.ceil(math.log2(10**12 / 1024))  # ≈30: 2^30 buckets
     assert auto_n_planes(10**12, 1024) > auto_n_planes(10**9, 1024)
+    # occupancy tracks the cap: n/2^planes stays within [cap/2, cap]-ish
+    for n in (10**4, 10**6, 10**9):
+        p = auto_n_planes(n, 1024)
+        assert n / 2**p <= 1024
 
 
 def test_knn_join_auto_planes_resolves_from_count(spark, embeddings):
-    """n_planes='auto' sizes geometry from the corpus; on the small fixture
-    it resolves to the oracle default, so results are identical."""
-    from cpp_paddle_ocr_spark.operators.similarity import knn_join
+    """n_planes='auto' sizes geometry from the corpus row count: results
+    equal passing the resolved integer explicitly (pins the resolution
+    mechanism; on the small fixture auto sizes DOWN to a coarser hash than
+    the 8-plane oracle default, trading pruning for recall)."""
+    from cpp_paddle_ocr_spark.operators.similarity import (
+        auto_n_planes,
+        BUCKET_CAP,
+        knn_join,
+    )
 
+    resolved = auto_n_planes(embeddings.count(), BUCKET_CAP)
     base = {
         (r.vec_id, r.neighbor_id, r.cosine, r.knn_rank)
-        for r in knn_join(embeddings).collect()
+        for r in knn_join(embeddings, n_planes=resolved).collect()
     }
     auto = {
         (r.vec_id, r.neighbor_id, r.cosine, r.knn_rank)
@@ -497,3 +509,28 @@ def test_lsh_neardup_multi_table_superset(spark, embeddings):
     }
     assert one <= many
     assert len(many) >= len(one)
+
+
+def test_plane_family_carries_independent_bits(spark, embeddings):
+    """Round-5 regression: the original sign form (i*31 + j*17) % 2 is the
+    parity of i+j — ONE hyperplane and its negation for every j, i.e. 2
+    occupied buckets at any n_planes, silently nullifying the n_planes /
+    multi-table / multi-probe levers. Pin that every plane is distinct,
+    none is another's negation, and real data spreads over many buckets."""
+    from pyspark.sql import functions as F
+
+    from cpp_paddle_ocr_spark.operators.similarity import (
+        DIM,
+        _bucket_col,
+        _plane_sign,
+    )
+
+    pats = [tuple(_plane_sign(i, j) for i in range(DIM)) for j in range(16)]
+    assert len(set(pats)) == 16
+    negs = {tuple(not b for b in p) for p in pats}
+    assert not (set(pats) & negs)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("key", _bucket_col("emb", 8))
+    n_keys = e.select("key").distinct().count()
+    assert n_keys > 10, f"bucket space degenerate: {n_keys} occupied buckets"
