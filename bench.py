@@ -130,6 +130,7 @@ def main() -> None:
         ("hash_sample", text_analysis.QUERIES["hash_sample"]),
         ("term_stats", text_analysis.QUERIES["term_stats"]),
         ("vocab_topk", text_analysis.QUERIES["vocab_topk"]),
+        ("encode_documents", text_analysis.QUERIES["encode_documents"]),
         ("domain_stats", governance.QUERIES["domain_stats"]),
         ("domain_cap", governance.QUERIES["domain_cap"]),
         ("decontaminate", governance.QUERIES["decontaminate"]),

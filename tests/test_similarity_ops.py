@@ -400,8 +400,10 @@ def test_knn_join_multi_table_recall(spark, embeddings):
     three = _knn_pairs(knn_join(embeddings, n_planes=12, n_tables=3))
     r1 = len(one & truth) / len(truth)
     r3 = len(three & truth) / len(truth)
-    assert r3 >= r1, (r1, r3)
-    assert r3 > 0
+    # STRICT gain: with the fixed (non-degenerate) plane family, extra
+    # tables probe genuinely different bucketings — pre-round-5 this
+    # assertion would fail, since every table hashed identically
+    assert r3 > r1, (r1, r3)
 
 
 def test_knn_join_multi_table_engines_agree(spark, embeddings):
