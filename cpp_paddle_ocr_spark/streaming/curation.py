@@ -43,7 +43,7 @@ from ..operators.text_analysis import (
     quality_cols,
     repetition_metrics_udf,
 )
-from .stateful import first_seen_stream
+from .stateful import capped_admission_stream, first_seen_stream
 
 CURATED_SCHEMA = T.StructType(
     [
@@ -136,4 +136,51 @@ def curate_stream(
         out_cols=_OUT_COLS,
         out_schema=CURATED_SCHEMA,
         ttl_ms=ttl_ms,
+    )
+
+
+BUDGETED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("domain", T.StringType(), True),
+        T.StructField("domain_seq", T.LongType(), False),
+    ]
+)
+
+
+def domain_budget_stream(
+    stream_df: DataFrame, cap: int, ttl_ms: int | None = None
+) -> DataFrame:
+    """Admission-controlled page stream: at most ``cap`` pages per domain
+    (url host) across ALL micro-batches — the streaming analog of
+    ``governance.domain_cap``, placed BEFORE extraction so over-budget
+    pages are dropped at the cheapest point of the pipeline.
+
+    The batch form ranks a domain's documents by length and keeps the
+    global top-``cap`` — a ranking that needs the whole corpus. A stream
+    cannot reorder arrivals it has not seen, so the streaming budget is
+    first-come admission: the first ``cap`` pages of each host win, later
+    ones are absorbed into state (the standard lambda split, like the
+    cluster gate in ``curate_stream``'s docstring). ``domain_seq`` is the
+    0-based admission number within the domain, for audit. ``ttl_ms``
+    expires a domain's budget, so a quiet host earns a fresh allowance —
+    a rolling-window budget rather than an all-time one.
+
+    Scale shape: one shuffle on the host key; state is one long per
+    domain, sharded across executors by that key — identical properties
+    to ``stateful.dedup_stream`` with hosts (millions) instead of urls
+    (trillions) as the state domain.
+    """
+    pages = stream_df.select(
+        "url", "html", F.parse_url(F.col("url"), F.lit("HOST")).alias("domain")
+    )
+    return capped_admission_stream(
+        pages,
+        key_col="domain",
+        out_cols=[f.name for f in BUDGETED_SCHEMA.fields],
+        out_schema=BUDGETED_SCHEMA,
+        cap=cap,
+        ttl_ms=ttl_ms,
+        seq_col="domain_seq",
     )

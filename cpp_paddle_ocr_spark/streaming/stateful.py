@@ -40,6 +40,75 @@ DEDUP_OUT_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType(), False)])
 
 
+def capped_admission_stream(
+    df: DataFrame,
+    key_col: str,
+    out_cols: list[str],
+    out_schema: T.StructType,
+    cap: int = 1,
+    ttl_ms: int | None = None,
+    extra_cols: dict[str, object] | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Generic cross-batch per-key admission: emit a row only while its
+    key has produced fewer than ``cap`` rows across ALL micro-batches;
+    later sightings (same batch or later) are absorbed into state.
+
+    ``cap=1`` is the first-seen dedup filter; ``cap=N`` keyed by url host
+    is a streaming domain budget. The delicate stateful semantics (timeout
+    expiry removes the key and emits nothing; the timeout re-arms on EVERY
+    sighting; seen-count survives batches) live in exactly one place —
+    `dedup_stream`, `curation.curate_stream` and
+    `curation.domain_budget_stream` are all instantiations of this.
+
+    ``seq_col`` (optional) names a LongType output column receiving each
+    emitted row's global 0-based position within its key — the admission
+    sequence number, for audit.
+
+    ``ttl_ms`` bounds the state store for unbounded crawls via
+    ``ProcessingTimeTimeout``: expiry removes the key (so a re-sighting
+    after the TTL starts a fresh budget) — store size traded against
+    long-horizon memory. ``None`` keeps state forever.
+    """
+
+    def admit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # TTL expiry: forget the key, emit nothing
+            return
+        seen = state.get[0] if state.exists else 0
+        taken: list[pd.DataFrame] = []
+        for pdf in pdfs:
+            room = cap - seen
+            if room > 0 and len(pdf):
+                take = pdf.iloc[:room].copy()
+                if seq_col is not None:
+                    take[seq_col] = range(seen, seen + len(take))
+                taken.append(take)
+            seen += len(pdf)
+        state.update((seen,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # re-arm on every sighting
+        for take in taken:
+            for name, value in (extra_cols or {}).items():
+                take[name] = value
+            yield take[out_cols]
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
 def first_seen_stream(
     df: DataFrame,
     key_col: str,
@@ -48,52 +117,17 @@ def first_seen_stream(
     ttl_ms: int | None = None,
     extra_cols: dict[str, object] | None = None,
 ) -> DataFrame:
-    """Generic cross-batch first-seen filter: one output row per distinct
-    ``key_col`` value across ALL micro-batches; later sightings (same
-    batch or later) are absorbed into state.
-
-    The delicate stateful semantics (timeout expiry removes the key and
-    emits nothing; the timeout re-arms on EVERY sighting; seen-count
-    survives batches) live in exactly one place — `dedup_stream` and
-    `curation.curate_stream` are both instantiations of this.
-
-    ``ttl_ms`` bounds the state store for unbounded crawls via
-    ``ProcessingTimeTimeout``: expiry removes the key, so a re-sighting
-    after the TTL is emitted again — store size traded against
-    long-horizon dedup recall. ``None`` keeps state forever.
-    """
-
-    def first_seen(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()  # TTL expiry: forget the key, emit nothing
-            return
-        seen = state.get[0] if state.exists else 0
-        first_row = None
-        for pdf in pdfs:
-            if first_row is None and len(pdf) and seen == 0:
-                first_row = pdf.iloc[[0]].copy()
-            seen += len(pdf)
-        state.update((seen,))
-        if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)  # re-arm on every sighting
-        if first_row is not None:
-            for name, value in (extra_cols or {}).items():
-                first_row[name] = value
-            yield first_row[out_cols]
-
-    timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
-    return df.groupBy(key_col).applyInPandasWithState(
-        first_seen,
-        outputStructType=out_schema,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=timeout_conf,
+    """Cross-batch first-seen filter: one output row per distinct
+    ``key_col`` value across ALL micro-batches — the ``cap=1`` admission
+    (see ``capped_admission_stream`` for the state/TTL semantics)."""
+    return capped_admission_stream(
+        df,
+        key_col=key_col,
+        out_cols=out_cols,
+        out_schema=out_schema,
+        cap=1,
+        ttl_ms=ttl_ms,
+        extra_cols=extra_cols,
     )
 
 

@@ -99,6 +99,68 @@ def test_curate_stream_matches_batch_gates_and_dedups(spark, tmp_path):
         assert r.token_entropy == b.token_entropy
 
 
+def test_domain_budget_stream_caps_across_batches(spark, tmp_path):
+    """domain_budget_stream: at most ``cap`` pages per url host across ALL
+    micro-batches. The fixture mega-host (host0, 20% of rows) overflows the
+    cap; its budget must fill partly in batch 1 and be remembered in batch
+    2 — the cross-batch state proof — while under-budget hosts pass
+    untouched with dense admission sequence numbers."""
+    import re
+
+    from cpp_paddle_ocr_spark.streaming.curation import domain_budget_stream
+
+    in_dir = str(tmp_path / "bin")
+    docs = generate_documents(spark, 40, oversize_max=2_000_000)
+    page_no = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("int")
+    # file 1 = pages 0-19 (host0: 0,5,10,15), file 2 = pages 20-39
+    docs.filter(page_no < 20).coalesce(1).write.parquet(in_dir)
+    docs.filter(page_no >= 20).coalesce(1).write.mode("append").parquet(in_dir)
+
+    cap = 5
+    s = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .parquet(in_dir)
+    )
+    out = domain_budget_stream(s, cap=cap)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("budget_t")
+        .option("checkpointLocation", str(tmp_path / "bckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from budget_t").collect()
+
+    by_domain: dict[str, list] = {}
+    for r in rows:
+        assert r.domain == re.match(r"https://([^/]+)/", r.url).group(1)
+        by_domain.setdefault(r.domain, []).append(r)
+    totals: dict[str, int] = {}
+    for r in docs.collect():
+        host = re.match(r"https://([^/]+)/", r.url).group(1)
+        totals[host] = totals.get(host, 0) + 1
+    assert totals["host0.example"] == 8  # mega-host overflows the cap
+
+    for domain, total in totals.items():
+        admitted = by_domain.get(domain, [])
+        assert len(admitted) == min(total, cap)
+        # admission numbers are the dense per-domain prefix 0..k-1
+        assert sorted(r.domain_seq for r in admitted) == list(
+            range(min(total, cap))
+        )
+    # cross-batch state: host0 had 4 pages in batch 1, so exactly one
+    # admission came from batch 2 — a fresh-state rerun would admit 5 there
+    h0_batch2 = [
+        r
+        for r in by_domain["host0.example"]
+        if int(re.search(r"/page/(\d+)$", r.url).group(1)) >= 20
+    ]
+    assert len(h0_batch2) == 1
+
+
 def test_curate_stream_redact_pii(spark, tmp_path):
     """redact_pii=True: output text is exactly the batch redaction of the
     plain run's text, fp is md5 of the REDACTED text, and planted PII in a
