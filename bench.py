@@ -112,6 +112,7 @@ def main() -> None:
         ("dedup_simhash", dedup.QUERIES["dedup_simhash"]),
         ("dedup_minhash", dedup.QUERIES["dedup_minhash"]),
         ("dedup_lsh_pairs", dedup.QUERIES["dedup_lsh_pairs"]),
+        ("dedup_spans", dedup.QUERIES["dedup_spans"]),
         ("sim_cosine_topk", similarity.QUERIES["sim_cosine_topk"]),
         ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
         # benches the PRODUCTION batched-matmul assignment (round-4); the
@@ -131,6 +132,7 @@ def main() -> None:
         ("term_stats", text_analysis.QUERIES["term_stats"]),
         ("vocab_topk", text_analysis.QUERIES["vocab_topk"]),
         ("encode_documents", text_analysis.QUERIES["encode_documents"]),
+        ("lm_score", text_analysis.QUERIES["lm_score"]),
         ("domain_stats", governance.QUERIES["domain_stats"]),
         ("domain_cap", governance.QUERIES["domain_cap"]),
         ("decontaminate", governance.QUERIES["decontaminate"]),

@@ -331,6 +331,135 @@ WHERE list_dot_product(a.emb, b.emb)
          * sqrt(list_dot_product(b.emb, b.emb))) >= {NEARDUP_THRESH}
 """
 
+# --- duplicate-span removal (C4-style) ---------------------------------------
+
+SPAN_W = 8
+
+
+def span_dedup(df: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Remove duplicated token spans from documents, C4-style: any ``w``-token
+    window whose exact text occurs more than once in the corpus is removed
+    from every occurrence EXCEPT the first (first = lexicographic min of
+    (doc_id, start)). C4 applies this at three-sentence granularity; tokens
+    are the deterministic analog for newline-free extracted text. Output per
+    document (text IS NOT NULL): ``(doc_id, n_tokens, n_removed,
+    clean_text)`` with ``clean_text`` the space-joined surviving tokens in
+    document order ('' when the whole document was a duplicate span run).
+
+    Scale shape: shingle hashes are md5 of the w-token window; the keeper
+    per hash comes from ``groupBy(h).agg(min(struct(doc_id, start)))`` — a
+    map-side-combining hash aggregate, NOT a window over h, so a hot
+    boilerplate shingle with 10^9 occurrences never sorts (or collects)
+    in one task; the join back to occurrences is (many × 1) on h and AQE
+    splits skewed partitions. Covered positions explode w rows per
+    duplicate occurrence and anti-mark via a left join on (doc_id, pos);
+    reassembly is the order-pinned array_sort-of-structs discipline (R7,
+    `src/ocr_rec.cpp:126-127`). The documents scan runs 3× (tokens branch,
+    shingle branch into the agg and into the occurrence join) — Catalyst
+    has no cross-branch reuse and the shingle stream is too large to
+    checkpoint; three scans is the price of the skew-safe agg+join shape.
+    """
+    base = df.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("arr")
+    )
+    # 1-based positions to match the 1-based slice/start indexing
+    toks = base.select(
+        "doc_id", F.posexplode("arr").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    sh = (
+        base.filter(F.size("arr") >= w)
+        .select(
+            "doc_id",
+            "arr",
+            F.explode(
+                F.sequence(F.lit(1), F.size("arr") - (w - 1))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.md5(F.concat_ws(" ", F.slice("arr", F.col("start"), w))).alias(
+                "h"
+            ),
+        )
+    )
+    keepers = sh.groupBy("h").agg(
+        F.count("*").alias("c"),
+        F.min(F.struct("doc_id", "start")).alias("k"),
+    )
+    dups = (
+        sh.join(keepers, "h")
+        .filter(
+            (F.col("c") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("k.doc_id"))
+                & (F.col("start") == F.col("k.start"))
+            )
+        )
+        .select("doc_id", "start")
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (w - 1))
+        ).alias("pos"),
+    ).distinct()
+    marked = toks.join(
+        covered.withColumn("cov", F.lit(1)), ["doc_id", "pos"], "left"
+    )
+    kept_struct = F.when(F.col("cov").isNull(), F.struct("pos", "tok"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("cov"), F.lit(0))).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x.tok
+            ),
+        ).alias("clean_text"),
+    )
+
+
+SPAN_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {tokens_sql('text')} AS arr
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, g.i AS pos, arr[g.i] AS tok
+  FROM base, unnest(generate_series(1, len(arr))) g(i)
+),
+sh AS (
+  SELECT doc_id, g.i AS start,
+         md5(array_to_string(arr[g.i:g.i + {SPAN_W - 1}], ' ')) AS h
+  FROM base, unnest(generate_series(1, len(arr) - {SPAN_W - 1})) g(i)
+  WHERE len(arr) >= {SPAN_W}
+),
+dups AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+    FROM sh
+  ) WHERE rn > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(start, start + {SPAN_W - 1})) AS pos
+    FROM dups
+  )
+),
+marked AS (
+  SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS covered
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' '
+                           ORDER BY pos), '') AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -358,7 +487,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load(spark, sf_dir, "embeddings"))
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_dedup(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "dedup_spans": q_span_dedup,
     "dedup_exact": q_exact,
     "dedup_simhash": q_simhash,
     "dedup_minhash": q_minhash,
@@ -368,6 +502,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_spans": SPAN_DEDUP_SQL,
     "dedup_exact": EXACT_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_minhash": MINHASH_SQL,

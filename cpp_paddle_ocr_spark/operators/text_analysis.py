@@ -526,6 +526,119 @@ GROUP BY toks.doc_id
 """
 
 
+# --- unigram-LM scoring (CCNet-style perplexity filter) ----------------------
+#
+# CCNet filters documents by language-model perplexity under a model trained
+# on a reference corpus; the SQL-expressible analog is a unigram LM over the
+# top-K vocabulary: p(tok) = tf / total_tf, out-of-vocabulary floored at
+# 1 / total_tf (an un-normalized floor, the standard cheap smoothing).
+# bits_per_token = mean(-log2 p) is the document's base-2 cross-entropy
+# under the model — high means improbable-token text (gibberish, boiler
+# noise), low means head-of-distribution text.
+
+LM_MAX_BITS = 4.95
+
+
+def lm_score(
+    df: DataFrame, model_df: DataFrame | None = None, k: int = VOCAB_K
+) -> DataFrame:
+    """Score each document's tokens under a unigram LM:
+    ``(doc_id, n_tokens, oov_frac, bits_per_token)``.
+
+    ``model_df`` is a trained ``(tok, tf)`` table (``term_stats`` output or
+    any frequency table); omitted, the model is trained from ``df`` itself.
+    Scale shape: the model is ≤ k+1 rows of state (top-k vocabulary + the
+    total-count scalar), both broadcast, so scoring is scan → explode →
+    map-side broadcast join → per-doc hash aggregate — no shuffle on token
+    keys. Self-training would re-scan the corpus once per model branch
+    (total, vocabulary — Catalyst has no cross-branch reuse), so the token
+    frequency table is eagerly localCheckpointed (one disclosed plan-time
+    job, one partial-aggregated shuffle); the whole operator then reads the
+    documents scan twice: once to train, once to score.
+    """
+    if model_df is None:
+        toks = df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        model_df = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+    model_df = model_df.select("tok", "tf")
+    total = model_df.agg(F.sum("tf").alias("total_tf"))
+    vocab = model_df.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(k)
+    scored = (
+        df.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(F.col("tf").isNull(), 1).otherwise(0).alias("oov"),
+            (
+                -F.log2(
+                    F.coalesce(F.col("tf"), F.lit(1)) / F.col("total_tf")
+                )
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("oov"), 6).alias("oov_frac"),
+        F.round(F.avg("bits"), 6).alias("bits_per_token"),
+    )
+
+
+LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+total AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf FROM tf),
+vocab AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok ASC LIMIT {VOCAB_K}),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN v.tf IS NULL THEN 1 ELSE 0 END AS oov,
+         -log2(coalesce(v.tf, 1) / total_tf) AS bits
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, total
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(oov), 6) AS oov_frac,
+       round(avg(bits), 6) AS bits_per_token
+FROM scored GROUP BY doc_id
+"""
+
+
+def lm_filter(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    max_bits: float = LM_MAX_BITS,
+) -> DataFrame:
+    """Perplexity gate: keep documents whose unigram cross-entropy is at
+    most ``max_bits`` bits/token — the CCNet head-of-distribution keep
+    (improbable-token documents are dropped; very-short documents pass,
+    their few tokens are head tokens or they fail the quality gate
+    instead)."""
+    return lm_score(df, model_df=model_df).filter(
+        F.col("bits_per_token") <= max_bits
+    )
+
+
+LM_FILTER_SQL = f"""
+SELECT * FROM ({LM_SQL})
+WHERE bits_per_token <= {LM_MAX_BITS}
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_score(load(spark, sf_dir, "documents"))
+
+
+def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_filter(load(spark, sf_dir, "documents"))
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_stats(load(spark, sf_dir, "documents"))
 
@@ -682,6 +795,8 @@ ORACLES = {
     "term_stats": TERM_STATS_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "encode_documents": ENCODE_SQL,
+    "lm_score": LM_SQL,
+    "lm_filter": LM_FILTER_SQL,
 }
 
 QUERIES = {
@@ -696,4 +811,6 @@ QUERIES = {
     "term_stats": q_term_stats,
     "vocab_topk": q_vocab_topk,
     "encode_documents": q_encode_documents,
+    "lm_score": q_lm_score,
+    "lm_filter": q_lm_filter,
 }

@@ -1,0 +1,103 @@
+"""Semantic tests for the round-5 curation additions: C4-style duplicate
+span removal (``dedup.span_dedup``) and CCNet-style unigram-LM scoring
+(``text_analysis.lm_score`` / ``lm_filter``). Oracle parity at sf0.001 is
+covered by test_oracle_parity; these pin the hand-checkable semantics on
+tiny constructed corpora."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cpp_paddle_ocr_spark.operators.dedup import span_dedup
+from cpp_paddle_ocr_spark.operators.text_analysis import lm_filter, lm_score
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+SPAN = "alpha beta gamma delta epsilon zeta eta theta"  # exactly w=8 tokens
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    df = _docs(
+        spark,
+        [
+            f"unique one two three {SPAN} tail0 tail1",
+            f"other four five six {SPAN} tail2 tail3",
+        ],
+    )
+    out = {r.doc_id: r for r in span_dedup(df).collect()}
+    # doc 0 is the lexicographic-first occurrence: untouched
+    assert out[0].n_removed == 0
+    assert out[0].clean_text == f"unique one two three {SPAN} tail0 tail1"
+    # doc 1 loses exactly the 8 shared-span tokens, order preserved
+    assert out[1].n_removed == 8
+    assert out[1].clean_text == "other four five six tail2 tail3"
+    assert out[1].n_tokens == 14
+
+
+def test_span_dedup_exact_duplicate_doc_empties(spark):
+    text = f"{SPAN} iota kappa"  # 10 tokens, every position span-covered
+    df = _docs(spark, [text, text])
+    out = {r.doc_id: r for r in span_dedup(df).collect()}
+    assert out[0].n_removed == 0 and out[0].clean_text == text
+    assert out[1].n_removed == out[1].n_tokens == 10
+    assert out[1].clean_text == ""
+
+
+def test_span_dedup_short_and_null_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "too short for any shingle"), (1, None)],
+        "doc_id long, text string",
+    )
+    out = span_dedup(df).collect()
+    # NULL text is excluded; sub-w docs pass through whole
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].n_removed == 0
+    assert out[0].clean_text == "too short for any shingle"
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    df = _docs(spark, [f"{SPAN} bridge {SPAN}"])
+    out = span_dedup(df).collect()[0]
+    # the second occurrence inside the SAME doc is the duplicate
+    assert out.n_removed == 8
+    assert out.clean_text == f"{SPAN} bridge"
+
+
+def test_lm_score_bits_and_oov(spark):
+    # 3 docs over a 3-token head + 1 rare token; k=2 puts 'rare' and
+    # 'tail' out of vocabulary (floor p = 1/total_tf)
+    df = _docs(spark, ["hot hot hot hot", "hot warm hot warm", "rare tail"])
+    out = {r.doc_id: r for r in lm_score(df, k=2).collect()}
+    total = 10  # 6 hot + 2 warm + rare + tail
+    assert out[0].oov_frac == 0.0
+    assert out[0].bits_per_token == round(-math.log2(6 / total), 6)
+    assert out[1].bits_per_token == round(
+        (-math.log2(6 / total) - math.log2(2 / total)) / 2, 6
+    )
+    assert out[2].oov_frac == 1.0
+    assert out[2].bits_per_token == round(-math.log2(1 / total), 6)
+    # model reuse: scoring NEW docs under the trained model
+    model = (
+        df.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    new = _docs(spark, ["hot unseen"])
+    row = lm_score(new, model_df=model, k=2).collect()[0]
+    assert row.oov_frac == 0.5
+    assert row.bits_per_token == round(
+        (-math.log2(6 / total) - math.log2(1 / total)) / 2, 6
+    )
+
+
+def test_lm_filter_drops_high_entropy_tail(spark):
+    df = _docs(spark, ["hot hot hot hot hot hot", "rare1 rare2 rare3"])
+    kept = lm_filter(df, max_bits=2.0).collect()
+    assert [r.doc_id for r in kept] == [0]
