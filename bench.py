@@ -113,6 +113,7 @@ def main() -> None:
         ("dedup_minhash", dedup.QUERIES["dedup_minhash"]),
         ("dedup_lsh_pairs", dedup.QUERIES["dedup_lsh_pairs"]),
         ("dedup_spans", dedup.QUERIES["dedup_spans"]),
+        ("winnow_sketch", dedup.QUERIES["winnow_sketch"]),
         ("sim_cosine_topk", similarity.QUERIES["sim_cosine_topk"]),
         ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
         # benches the PRODUCTION batched-matmul assignment (round-4); the
@@ -133,6 +134,7 @@ def main() -> None:
         ("vocab_topk", text_analysis.QUERIES["vocab_topk"]),
         ("encode_documents", text_analysis.QUERIES["encode_documents"]),
         ("lm_score", text_analysis.QUERIES["lm_score"]),
+        ("tfidf_topterms", text_analysis.QUERIES["tfidf_topterms"]),
         ("domain_stats", governance.QUERIES["domain_stats"]),
         ("domain_cap", governance.QUERIES["domain_cap"]),
         ("decontaminate", governance.QUERIES["decontaminate"]),

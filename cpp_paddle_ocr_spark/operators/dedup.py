@@ -460,6 +460,109 @@ SELECT doc_id,
 FROM marked GROUP BY doc_id
 """
 
+# --- winnowing fingerprints ---------------------------------------------------
+
+WINNOW_K = 4  # gram length (tokens)
+WINNOW_W = 4  # window length (grams)
+
+
+def winnow_sketch(
+    df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): hash every ``k``-token gram, slide a window of
+    ``w`` consecutive grams, and select each window's minimum hash (ties →
+    rightmost position). Guarantees every shared substring of length ≥
+    ``k + w - 1`` tokens contributes at least one common print, with sketch
+    density ≈ 2/(w+1) — the robust local sampler the plain rolling-hash
+    ``fingerprint`` operator is not. Output: distinct
+    ``(doc_id, pos, gram_hash)`` selected prints, 1-based gram positions.
+
+    Short docs: ``n_grams < w`` collapses to a single window over all grams
+    (the min of the whole doc is selected); ``n_tokens < k`` yields no rows.
+
+    Scale shape: gram explode → per-gram window-membership explode (≤ w
+    rows each, ``sequence`` bounds ascending by construction — the
+    count-down trap is unreachable) → ONE hash aggregate per (doc, window)
+    taking ``min(struct(hash, -pos))`` — the rightmost-min rule as a
+    lexicographic min, so selection is a map-side-combining aggregate keyed
+    by (doc_id, window), never a per-key sort or collect. No joins, no
+    corpus-wide state; everything is per-document and bounded by doc
+    length.
+    """
+    base = (
+        df.filter(F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("arr"))
+        .filter(F.size("arr") >= k)
+    )
+    grams = base.select(
+        "doc_id",
+        "arr",
+        (F.size("arr") - (k - 1)).alias("n_g"),
+        F.explode(F.sequence(F.lit(1), F.size("arr") - (k - 1))).alias("p"),
+    ).select(
+        "doc_id",
+        "n_g",
+        "p",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("arr", F.col("p"), k))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("gh"),
+    )
+    n_w = F.greatest(F.col("n_g") - (w - 1), F.lit(1))
+    mem = grams.select(
+        "doc_id",
+        "p",
+        "gh",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("p") - (w - 1), F.lit(1)),
+                F.least(F.col("p"), n_w),
+            )
+        ).alias("j"),
+    )
+    sel = mem.groupBy("doc_id", "j").agg(
+        F.min(F.struct(F.col("gh"), (-F.col("p")).alias("np"))).alias("m")
+    )
+    return sel.select(
+        "doc_id",
+        (-F.col("m.np")).alias("pos"),
+        F.col("m.gh").alias("gram_hash"),
+    ).distinct()
+
+
+WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {tokens_sql('text')} AS arr
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, len(arr) - {WINNOW_K - 1} AS n_g, g.i AS p,
+         {h60_sql(f"array_to_string(arr[g.i:g.i + {WINNOW_K - 1}], ' ')")} AS gh
+  FROM base, unnest(generate_series(1, len(arr) - {WINNOW_K - 1})) g(i)
+  WHERE len(arr) >= {WINNOW_K}
+),
+mem AS (
+  SELECT doc_id, p, gh,
+         unnest(generate_series(
+           greatest(p - {WINNOW_W - 1}, 1),
+           least(p, greatest(n_g - {WINNOW_W - 1}, 1)))) AS j
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, j, p, gh,
+         row_number() OVER (
+           PARTITION BY doc_id, j ORDER BY gh ASC, p DESC) AS rn
+  FROM mem
+)
+SELECT DISTINCT doc_id, p AS pos, gh AS gram_hash FROM sel WHERE rn = 1
+"""
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -491,8 +594,13 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(load(spark, sf_dir, "documents"))
 
 
+def q_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_sketch(load(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_spans": q_span_dedup,
+    "winnow_sketch": q_winnow_sketch,
     "dedup_exact": q_exact,
     "dedup_simhash": q_simhash,
     "dedup_minhash": q_minhash,
@@ -503,6 +611,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_spans": SPAN_DEDUP_SQL,
+    "winnow_sketch": WINNOW_SQL,
     "dedup_exact": EXACT_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_minhash": MINHASH_SQL,

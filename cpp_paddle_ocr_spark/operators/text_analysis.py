@@ -526,6 +526,89 @@ GROUP BY toks.doc_id
 """
 
 
+# --- tf-idf salient terms -----------------------------------------------------
+
+TFIDF_K = 5
+
+
+def tfidf_topterms(df: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Top-``k`` salient terms per document by tf-idf:
+    ``(doc_id, rank, tok, tfidf)`` with tfidf = round(tf_d · ln(N/df), 6)
+    and rank ordered by (tfidf desc, tok asc) — the keyword-extraction /
+    labeling primitive over the corpus statistics.
+
+    Scale shape: per-doc term counts are one hash aggregate; document
+    frequency derives from THAT aggregate (a second, already-deduplicated
+    pass — never a countDistinct over raw tokens); the tf↔df join shuffles
+    on the token key (hot tokens are exactly the low-idf ones, AQE splits
+    them); top-k per doc is a bounded collect_list + comparator
+    array_sort, NOT a corpus-wide window — no single-task sort anywhere.
+    """
+    toks = df.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tfd = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf_d"))
+    dfreq = tfd.groupBy("tok").agg(F.count("*").alias("doc_freq"))
+    total = df.select(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tfd.join(dfreq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf_d") * F.log(F.col("n_docs") / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    cmp = lambda a, b: (  # noqa: E731 — (tfidf desc, tok asc)
+        F.when(a.tfidf > b.tfidf, -1)
+        .when(a.tfidf < b.tfidf, 1)
+        .when(a.tok < b.tok, -1)
+        .when(a.tok > b.tok, 1)
+        .otherwise(0)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.collect_list(F.struct("tfidf", "tok")).alias("terms")
+    )
+    top = agg.select(
+        "doc_id",
+        F.posexplode(F.slice(F.array_sort("terms", cmp), 1, k)).alias(
+            "pos", "t"
+        ),
+    )
+    return top.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("t.tok").alias("tok"),
+        F.col("t.tfidf").alias("tfidf"),
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tfd AS (SELECT doc_id, tok, count(*) AS tf_d FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS doc_freq FROM tfd GROUP BY tok),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT doc_id, CAST(rn AS INT) AS rank, tok, tfidf FROM (
+  SELECT t.doc_id, t.tok,
+         round(t.tf_d * ln(n_docs / d.doc_freq), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY round(t.tf_d * ln(n_docs / d.doc_freq), 6) DESC, t.tok ASC
+         ) AS rn
+  FROM tfd t JOIN dfreq d USING (tok), total
+) WHERE rn <= {TFIDF_K}
+"""
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topterms(load(spark, sf_dir, "documents"))
+
+
 # --- unigram-LM scoring (CCNet-style perplexity filter) ----------------------
 #
 # CCNet filters documents by language-model perplexity under a model trained
@@ -797,6 +880,7 @@ ORACLES = {
     "encode_documents": ENCODE_SQL,
     "lm_score": LM_SQL,
     "lm_filter": LM_FILTER_SQL,
+    "tfidf_topterms": TFIDF_SQL,
 }
 
 QUERIES = {
@@ -813,4 +897,5 @@ QUERIES = {
     "encode_documents": q_encode_documents,
     "lm_score": q_lm_score,
     "lm_filter": q_lm_filter,
+    "tfidf_topterms": q_tfidf_topterms,
 }

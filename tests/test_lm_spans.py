@@ -101,3 +101,89 @@ def test_lm_filter_drops_high_entropy_tail(spark):
     df = _docs(spark, ["hot hot hot hot hot hot", "rare1 rare2 rare3"])
     kept = lm_filter(df, max_bits=2.0).collect()
     assert [r.doc_id for r in kept] == [0]
+
+
+# --- winnowing ---------------------------------------------------------------
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Independent reference winnowing (Schleimer et al. fig. 5 semantics):
+    min of each w-gram window, ties rightmost, 1-based gram positions."""
+    import hashlib
+
+    toks = text.split()
+    grams = [
+        int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    if not grams:
+        return set()
+    n_w = max(len(grams) - w + 1, 1)
+    out = set()
+    for j in range(n_w):
+        win = grams[j : j + w]
+        m = min(win)
+        pos = j + max(i for i, g in enumerate(win) if g == m)
+        out.add((pos + 1, grams[pos]))
+    return out
+
+
+def test_winnow_sketch_matches_reference_impl(spark):
+    import random
+
+    from cpp_paddle_ocr_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_sketch,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(n)) for n in (3, 4, 6, 30, 80)
+    ]
+    df = _docs(spark, texts)
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in winnow_sketch(df).collect():
+        got[r.doc_id].add((r.pos, r.gram_hash))
+    for i, text in enumerate(texts):
+        assert got[i] == _py_winnow(text, WINNOW_K, WINNOW_W), f"doc {i}"
+    assert got[0] == set()  # 3 tokens < k: no grams
+    assert len(got[1]) == 1  # single gram, single window
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # two docs sharing a (k + w - 1)-token run MUST share a print
+    from cpp_paddle_ocr_spark.operators.dedup import winnow_sketch
+
+    shared = "s1 s2 s3 s4 s5 s6 s7"  # k + w - 1 = 7 tokens
+    df = _docs(
+        spark,
+        [f"a1 a2 a3 {shared} a4 a5", f"b1 b2 {shared} b3 b4 b5 b6"],
+    )
+    prints = {0: set(), 1: set()}
+    for r in winnow_sketch(df).collect():
+        prints[r.doc_id].add(r.gram_hash)
+    assert prints[0] & prints[1]
+
+
+def test_tfidf_topterms_hand_example(spark):
+    import math
+
+    from cpp_paddle_ocr_spark.operators.text_analysis import tfidf_topterms
+
+    df = _docs(spark, ["apple apple banana", "banana cherry", "cherry date"])
+    out = [
+        (r.doc_id, r.rank, r.tok, r.tfidf)
+        for r in tfidf_topterms(df, k=2).collect()
+    ]
+    idf = lambda d: math.log(3 / d)  # noqa: E731
+    exp = [
+        (0, 1, "apple", round(2 * idf(1), 6)),
+        (0, 2, "banana", round(1 * idf(2), 6)),
+        (1, 1, "banana", round(1 * idf(2), 6)),
+        (1, 2, "cherry", round(1 * idf(2), 6)),  # tie → tok asc
+        (2, 1, "date", round(1 * idf(1), 6)),
+        (2, 2, "cherry", round(1 * idf(2), 6)),
+    ]
+    assert sorted(out) == sorted(exp)
