@@ -693,6 +693,33 @@ FROM scored GROUP BY doc_id
 """
 
 
+def lm_bits_col(vocab_tf: dict, total_tf: int, col) -> "F.Column":
+    """Per-row ``bits_per_token`` under a driver-side ``{tok: tf}``
+    vocabulary — the stateless (streaming-safe) form of ``lm_score``: the
+    ≤ k model entries become a literal map, the token walk is one
+    ``aggregate`` over the split array, so the gate is a pure JVM
+    projection with no shuffle and no state (exactly like the lang/
+    quality gate columns). NULL for zero-token text. Value parity with
+    ``lm_score`` is document-order vs partial-aggregation summation —
+    identical after the 6-dp round (pinned by test)."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.create_map(
+        *[F.lit(x) for tok, tf in sorted(vocab_tf.items()) for x in (tok, tf)]
+    )
+    toks = tokens(c)
+    s = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + (
+            -F.log2(
+                F.coalesce(F.element_at(m, t), F.lit(1)) / F.lit(total_tf)
+            )
+        ),
+    )
+    return F.when(F.size(toks) > 0, F.round(s / F.size(toks), 6))
+
+
 def lm_filter(
     df: DataFrame,
     model_df: DataFrame | None = None,

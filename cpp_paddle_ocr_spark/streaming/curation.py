@@ -14,6 +14,9 @@ streaming-safe pieces into that pipeline:
                    so per arriving row it is a pure function of that row's
                    text; same REP_* thresholds as the batch pipeline,
                    row-for-row metric parity pinned by test_repetition)
+                 → optional CCNet perplexity gate (a batch-TRAINED unigram
+                   model applied as a stateless literal-map projection —
+                   see ``lm_model`` below)
                  → cross-batch exact dedup on the text fingerprint
                    (applyInPandasWithState, first-seen wins, optional TTL)
 
@@ -36,10 +39,12 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..operators.corpus import KEEP_LANG, MIN_QUALITY
 from ..operators.text_analysis import (
+    LM_MAX_BITS,
     REP_MAX_DUP_TRIGRAM,
     REP_MAX_TOP_BIGRAM,
     REP_MIN_ENTROPY,
     lang_cols,
+    lm_bits_col,
     quality_cols,
     repetition_metrics_udf,
 )
@@ -54,6 +59,7 @@ CURATED_SCHEMA = T.StructType(
         T.StructField("top_bigram_frac", T.DoubleType(), True),
         T.StructField("dup_trigram_frac", T.DoubleType(), True),
         T.StructField("token_entropy", T.DoubleType(), True),
+        T.StructField("bits_per_token", T.DoubleType(), True),
         T.StructField("fp", T.StringType(), False),
     ]
 )
@@ -67,6 +73,9 @@ def curate_stream(
     min_quality: float = MIN_QUALITY,
     ttl_ms: int | None = None,
     redact_pii: bool = False,
+    lm_model: dict | None = None,
+    lm_total_tf: int | None = None,
+    lm_max_bits: float | None = None,
 ) -> DataFrame:
     """Pages stream → curated, fingerprint-deduplicated text stream.
 
@@ -87,6 +96,17 @@ def curate_stream(
     stateless JVM projection (like the lang/quality gates, it needs no
     corpus state). Fingerprinting the redacted text means two pages
     differing only in embedded PII deduplicate to one curated row.
+
+    ``lm_model``/``lm_total_tf`` (a driver-side ``{tok: tf}`` vocabulary +
+    its training total, e.g. collected from ``text_analysis.term_stats``
+    over the stored corpus) enable the CCNet-style perplexity gate: the
+    model is a batch-trained artifact, but SCORING under it is a pure
+    function of the arriving row (``lm_bits_col`` — a literal-map token
+    walk, no state, no shuffle), so the gate streams exactly like lang/
+    quality. ``lm_max_bits`` (default ``LM_MAX_BITS`` when a model is
+    given) drops rows scoring above the threshold; ``bits_per_token``
+    rides along for audit (NULL when no model is configured — only the
+    model TRAINING is batch-side, per the lambda split above).
     """
     from ..operators.governance import EMAIL_RE, IPV4_RE, PHONE_RE
     from .ingest import extract_stream
@@ -116,6 +136,19 @@ def curate_stream(
             & (F.col("token_entropy") >= REP_MIN_ENTROPY)
         )
     )
+    if lm_model is not None:
+        if lm_total_tf is None:
+            lm_total_tf = sum(lm_model.values())
+        gated = gated.withColumn(
+            "bits_per_token", lm_bits_col(lm_model, lm_total_tf, "text")
+        ).filter(
+            F.col("bits_per_token")
+            <= (LM_MAX_BITS if lm_max_bits is None else lm_max_bits)
+        )
+    else:
+        gated = gated.withColumn(
+            "bits_per_token", F.lit(None).cast("double")
+        )
     if redact_pii:
         # gates ran on the raw text (PII does not change quality); the
         # emitted text and the dedup identity are the redacted form

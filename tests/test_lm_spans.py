@@ -103,6 +103,36 @@ def test_lm_filter_drops_high_entropy_tail(spark):
     assert [r.doc_id for r in kept] == [0]
 
 
+def test_lm_bits_col_matches_lm_score(spark):
+    """The stateless literal-map form must reproduce lm_score's
+    bits_per_token value-for-value under the same model."""
+    from cpp_paddle_ocr_spark.operators.text_analysis import lm_bits_col
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        100
+    )
+    model_df = (
+        df.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    rows = model_df.collect()
+    model = {r.tok: r.tf for r in rows}
+    total = sum(model.values())
+    batch = {
+        r.doc_id: r.bits_per_token
+        for r in lm_score(df, model_df=model_df).collect()
+    }
+    rowwise = {
+        r.doc_id: r.b
+        for r in df.filter(F.col("text").isNotNull())
+        .select("doc_id", lm_bits_col(model, total, "text").alias("b"))
+        .collect()
+    }
+    assert batch == rowwise
+
+
 # --- winnowing ---------------------------------------------------------------
 
 

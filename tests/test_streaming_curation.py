@@ -99,6 +99,74 @@ def test_curate_stream_matches_batch_gates_and_dedups(spark, tmp_path):
         assert r.token_entropy == b.token_entropy
 
 
+def test_curate_stream_lm_gate(spark, tmp_path):
+    """CCNet gate in the stream: a batch-trained {tok: tf} model applied as
+    a stateless projection. Emitted bits_per_token must match an
+    independent Python recomputation under the same model, and the kept
+    set must be exactly the no-model kept set minus rows over
+    threshold."""
+    import hashlib
+    import math
+
+    in_dir = str(tmp_path / "in")
+    generate_documents(spark, 40, oversize_max=2_000_000).write.parquet(in_dir)
+
+    # batch-train the unigram model on the extracted corpus (the stored-
+    # table side of the lambda split)
+    tf_rows = (
+        extract(spark.read.parquet(in_dir))
+        .filter(F.col("success") & F.col("extracted_text").isNotNull())
+        .select(
+            F.explode(
+                F.filter(F.split("extracted_text", r"\s+"), lambda t: t != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .count()
+        .collect()
+    )
+    model = {r.tok: r["count"] for r in tf_rows}
+    total = sum(model.values())
+
+    def py_bits(text: str) -> float:
+        toks = text.split()
+        return sum(-math.log2(model.get(t, 1) / total) for t in toks) / len(
+            toks
+        )
+
+    def run(name: str, **kw):
+        s = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(in_dir)
+        q = (
+            curate_stream(s, lang="en", min_quality=0.3, **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.sql(f"select * from {name}").collect()
+
+    plain = run("lm_plain")
+    assert plain and all(r.bits_per_token is None for r in plain)
+    # threshold at the median of the true bits so the gate drops SOME rows
+    bits = sorted(py_bits(r.text) for r in plain)
+    cut = bits[len(bits) // 2]
+    gated = run(
+        "lm_gated", lm_model=model, lm_total_tf=total, lm_max_bits=cut
+    )
+    assert gated and len(gated) < len(plain)
+    for r in gated:
+        assert abs(r.bits_per_token - round(py_bits(r.text), 6)) < 1e-9
+        assert r.bits_per_token <= cut
+    exp = {
+        hashlib.md5(r.text.encode()).hexdigest()
+        for r in plain
+        if round(py_bits(r.text), 6) <= cut
+    }
+    assert {r.fp for r in gated} == exp
+
+
 def test_domain_budget_stream_caps_across_batches(spark, tmp_path):
     """domain_budget_stream: at most ``cap`` pages per url host across ALL
     micro-batches. The fixture mega-host (host0, 20% of rows) overflows the
