@@ -53,6 +53,8 @@ QUERY_SET = [
     ("dedup_simhash", dedup.QUERIES["dedup_simhash"]),
     ("dedup_minhash", dedup.QUERIES["dedup_minhash"]),
     ("dedup_lsh_pairs", dedup.QUERIES["dedup_lsh_pairs"]),
+    ("dedup_spans", dedup.QUERIES["dedup_spans"]),
+    ("winnow_sketch", dedup.QUERIES["winnow_sketch"]),
     ("dedup_clusters", clustering.QUERIES["dedup_clusters"]),
     ("sim_cosine_topk", similarity.QUERIES["sim_cosine_topk"]),
     ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
@@ -71,6 +73,8 @@ QUERY_SET = [
     ("overlap_iou", relational.QUERIES["overlap_iou"]),
     ("term_stats", text_analysis.QUERIES["term_stats"]),
     ("vocab_topk", text_analysis.QUERIES["vocab_topk"]),
+    ("lm_score", text_analysis.QUERIES["lm_score"]),
+    ("tfidf_topterms", text_analysis.QUERIES["tfidf_topterms"]),
     ("emb_quantize_report", quantize.QUERIES["emb_quantize_report"]),
     ("sim_knn_multitable", similarity.q_knn_join_multitable_batched),
     ("domain_stats", governance.QUERIES["domain_stats"]),
