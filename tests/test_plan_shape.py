@@ -126,3 +126,48 @@ def test_knn_join_batched_plan_shape(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert plan.count("Scan parquet") <= 3
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_span_dedup_no_window_no_cartesian(spark):
+    """Keeper selection must stay a min-struct hash aggregate + equi-join:
+    a Window over the shingle hash would single-task-sort hot boilerplate
+    shingles; the scan count is pinned at the documented 3 branches."""
+    from cpp_paddle_ocr_spark.operators import dedup
+
+    plan = plan_of(dedup.QUERIES["dedup_spans"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 3
+
+
+def test_winnow_sketch_single_aggregate_no_join(spark):
+    """Winnowing selection is per-document: one min-struct aggregate keyed
+    by (doc, window), no joins, no windows, one scan."""
+    from cpp_paddle_ocr_spark.operators import dedup
+
+    plan = plan_of(dedup.QUERIES["winnow_sketch"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_lm_score_broadcasts_model(spark):
+    """The trained model (vocab + total) must reach scoring as broadcasts;
+    the scoring branch reads the table once (training is checkpointed)."""
+    from cpp_paddle_ocr_spark.operators import text_analysis
+
+    plan = plan_of(text_analysis.QUERIES["lm_score"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_tfidf_no_window_no_cartesian(spark):
+    """Per-doc top-k must be the bounded comparator array_sort, never a
+    corpus-wide Window; tf-df join is an equi-join."""
+    from cpp_paddle_ocr_spark.operators import text_analysis
+
+    plan = plan_of(text_analysis.QUERIES["tfidf_topterms"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
