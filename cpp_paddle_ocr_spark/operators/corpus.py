@@ -51,19 +51,26 @@ def corpus_keep(
     lang: str = KEEP_LANG,
     min_quality: float = MIN_QUALITY,
     domain_cap_n: int | None = None,
+    lm_max_bits: float | None = None,
 ) -> DataFrame:
     """The surviving corpus with audit columns: ``(doc_id, pred_lang,
     quality, top_bigram_frac, dup_trigram_frac, token_entropy,
     cluster_id)`` — rows passing all four gates.
 
-    ``domain_cap_n`` adds the per-domain budget as a FIFTH gate applied to
-    the *survivors* (capping before the quality gates would leave domains
-    under budget whenever capped-in docs later fail a gate): the
+    ``lm_max_bits`` adds the CCNet-style perplexity gate (the batch mirror
+    of ``curate_stream``'s ``lm_max_bits``): ``text_analysis.lm_score``
+    self-trains the unigram model and rows above the threshold drop, with
+    ``bits_per_token`` attached for audit. One extra scoring scan + the
+    checkpointed model-training pass; the join stays on the 8-byte doc_id.
+
+    ``domain_cap_n`` adds the per-domain budget as a FURTHER gate applied
+    to the *survivors* (capping before the quality gates would leave
+    domains under budget whenever capped-in docs later fail a gate): the
     ``governance.domain_cap`` salted two-stage top-N ranks the surviving
     rows per domain and keeps the top ``domain_cap_n``, attaching
     ``domain_rank`` as an audit column. Costs one extra narrow
     (doc_id, source, n_chars) scan + the capped window — the driver
-    oracle runs the default (uncapped) form."""
+    oracle runs the default (uncapped, un-LM-gated) form."""
     metrics = df.select("doc_id", *lang_cols(), *quality_cols())
     rep = repetition_stats(df)
     clusters = dedup_clusters(df)
@@ -88,6 +95,13 @@ def corpus_keep(
             "cluster_id",
         )
     )
+    if lm_max_bits is not None:
+        from .text_analysis import lm_score
+
+        bits = lm_score(df).select("doc_id", "bits_per_token")
+        kept = kept.join(bits, "doc_id").filter(
+            F.col("bits_per_token") <= lm_max_bits
+        )
     if domain_cap_n is None:
         return kept
     from .governance import domain_cap

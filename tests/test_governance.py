@@ -209,3 +209,24 @@ def test_corpus_keep_domain_budget(spark):
     assert {"pred_lang", "quality", "cluster_id", "domain_rank"} <= set(
         any_row.asDict()
     )
+
+
+def test_corpus_keep_lm_gate(spark):
+    """corpus_keep(lm_max_bits=cut) == the ungated survivors intersected
+    with lm_score <= cut, with the exact bits attached."""
+    from cpp_paddle_ocr_spark.operators.common import load
+    from cpp_paddle_ocr_spark.operators.corpus import corpus_keep
+    from cpp_paddle_ocr_spark.operators.text_analysis import lm_score
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    base = {r.doc_id for r in corpus_keep(docs).collect()}
+    bits = {
+        r.doc_id: r.bits_per_token for r in lm_score(docs).collect()
+    }
+    surviving = sorted(bits[d] for d in base)
+    cut = surviving[len(surviving) // 2]  # median: gate must drop SOME
+    gated = {r.doc_id: r for r in corpus_keep(docs, lm_max_bits=cut).collect()}
+    assert set(gated) == {d for d in base if bits[d] <= cut}
+    assert 0 < len(gated) < len(base)
+    for did, r in gated.items():
+        assert r.bits_per_token == bits[did]
