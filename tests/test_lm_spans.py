@@ -103,6 +103,52 @@ def test_lm_filter_drops_high_entropy_tail(spark):
     assert [r.doc_id for r in kept] == [0]
 
 
+def _py_span_dedup(texts: list[str], w: int) -> dict[int, tuple]:
+    """Brute-force reference: hash every w-token window, first occurrence
+    by (doc_id, start) keeps, all other occurrences' positions removed."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    for i, ts in toks.items():
+        for s in range(len(ts) - w + 1):
+            occ.setdefault(" ".join(ts[s : s + w]), []).append((i, s))
+    covered: dict[int, set] = {i: set() for i in toks}
+    for sites in occ.values():
+        for d, s in sorted(sites)[1:]:
+            covered[d].update(range(s, s + w))
+    return {
+        i: (
+            len(ts),
+            len(covered[i]),
+            " ".join(t for p, t in enumerate(ts) if p not in covered[i]),
+        )
+        for i, ts in toks.items()
+    }
+
+
+def test_span_dedup_matches_reference_on_random_corpus(spark):
+    """Randomized corpus with planted full/partial duplicates: the Spark
+    operator must agree with the brute-force reference on every doc."""
+    import random
+
+    from cpp_paddle_ocr_spark.operators.dedup import SPAN_W
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(9)]  # tiny vocab → organic repeats too
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 40)))
+        for _ in range(12)
+    ]
+    texts.append(texts[3])  # exact duplicate
+    texts.append(texts[5] + " " + texts[7])  # concatenated duplicate spans
+    df = _docs(spark, texts)
+    exp = _py_span_dedup(texts, SPAN_W)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in span_dedup(df).collect()
+    }
+    assert got == exp
+
+
 def test_lm_bits_col_matches_lm_score(spark):
     """The stateless literal-map form must reproduce lm_score's
     bits_per_token value-for-value under the same model."""
