@@ -130,6 +130,7 @@ def main() -> None:
         ("repetition_filter", text_analysis.QUERIES["repetition_filter"]),
         ("chunk_documents", text_analysis.QUERIES["chunk_documents"]),
         ("hash_sample", text_analysis.QUERIES["hash_sample"]),
+        ("mix_sample", text_analysis.QUERIES["mix_sample"]),
         ("term_stats", text_analysis.QUERIES["term_stats"]),
         ("vocab_topk", text_analysis.QUERIES["vocab_topk"]),
         ("encode_documents", text_analysis.QUERIES["encode_documents"]),

@@ -876,6 +876,45 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE {h60_sql('CAST(doc_id AS VARCHAR)')} % 100 < {SAMPLE_PCT}
 """
 
+# Data-mixing defaults for the driver oracle: an explicit per-source keep
+# percentage (sources absent from the map are dropped — a mix is a
+# whitelist). Real pipelines tune these per corpus snapshot.
+MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 10}
+
+
+def mix_sample(df: DataFrame, weights: dict | None = None) -> DataFrame:
+    """Deterministic data-mixture sampling: keep each row with its
+    source's configured percentage — the mixing step that turns per-source
+    corpora into a weighted pretraining blend. Same md5-bucket discipline
+    as ``hash_sample`` (stable across runs/engines/partitionings, and
+    per-source nested: raising one source's weight only ADDS rows), keyed
+    by doc_id so a document keeps/drops identically wherever it appears.
+    Sources not in ``weights`` are dropped. Output keeps ``bucket`` for
+    audit. Scale shape: a pure scan-side filter projection — the weight
+    map folds into one CASE expression, no joins, no shuffle."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    bucket = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(100))
+    pct = F.lit(-1)
+    for src, p in sorted(weights.items()):
+        pct = F.when(F.col("source") == src, F.lit(p)).otherwise(pct)
+    return (
+        df.select("doc_id", "source", "n_chars", bucket.alias("bucket"))
+        .filter(F.col("bucket") < pct)
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {p}" for s, p in sorted(MIX_WEIGHTS.items())
+)
+
+MIX_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       {h60_sql('CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+FROM documents
+WHERE {h60_sql('CAST(doc_id AS VARCHAR)')} % 100
+      < CASE {_MIX_CASE} ELSE -1 END
+"""
+
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load(spark, sf_dir, "documents"))
@@ -893,6 +932,10 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(load(spark, sf_dir, "documents"))
 
 
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mix_sample(load(spark, sf_dir, "documents"))
+
+
 ORACLES = {
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
@@ -902,6 +945,7 @@ ORACLES = {
     "repetition_filter": REPETITION_FILTER_SQL,
     "chunk_documents": CHUNK_SQL,
     "hash_sample": HASH_SAMPLE_SQL,
+    "mix_sample": MIX_SAMPLE_SQL,
     "term_stats": TERM_STATS_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "encode_documents": ENCODE_SQL,
@@ -919,6 +963,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "chunk_documents": q_chunk_documents,
     "hash_sample": q_hash_sample,
+    "mix_sample": q_mix_sample,
     "term_stats": q_term_stats,
     "vocab_topk": q_vocab_topk,
     "encode_documents": q_encode_documents,

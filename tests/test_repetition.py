@@ -117,6 +117,38 @@ def test_hash_sample_is_nested_and_deterministic(spark):
     assert 0 < len(p10) < docs.count()
 
 
+def test_mix_sample_rates_and_nesting(spark):
+    """mix_sample: per-source keep decided by the doc's md5 bucket against
+    that source's weight (verified against an independent hashlib
+    recomputation); raising one source's weight only ADDS rows; absent
+    sources are dropped."""
+    import hashlib
+
+    from cpp_paddle_ocr_spark.operators.text_analysis import mix_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {"src0": 100, "src1": 50, "src2": 10}
+    out = {r.doc_id: r for r in mix_sample(docs, w).collect()}
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    exp = {
+        r.doc_id
+        for r in docs.select("doc_id", "source").collect()
+        if r.source in w and bucket(r.doc_id) < w[r.source]
+    }
+    assert set(out) == exp and 0 < len(out) < docs.count()
+    for r in out.values():
+        assert r.bucket == bucket(r.doc_id)
+        assert r.source in w  # whitelist: absent sources never appear
+    # nesting per source: only src2 rows may be added by raising src2
+    w2 = dict(w, src2=60)
+    out2 = {r.doc_id: r.source for r in mix_sample(docs, w2).collect()}
+    assert set(out) <= set(out2)
+    assert {s for d, s in out2.items() if d not in out} == {"src2"}
+
+
 def test_chunk_documents_null_text_no_rows(spark):
     from cpp_paddle_ocr_spark.operators.text_analysis import chunk_documents
 
