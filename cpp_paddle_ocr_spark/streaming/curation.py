@@ -217,3 +217,45 @@ def domain_budget_stream(
         ttl_ms=ttl_ms,
         seq_col="domain_seq",
     )
+
+
+def budget_then_curate(
+    spark,
+    stream_df: DataFrame,
+    stage_dir: str,
+    stage_checkpoint: str,
+    cap: int,
+    ttl_ms: int | None = None,
+    trigger: dict | None = None,
+    **curate_kwargs,
+):
+    """The full crawl pipeline — domain budget THEN curation — as the
+    two-query composition Spark requires: the engine allows at most ONE
+    ``applyInPandasWithState`` per streaming query (chaining raises
+    ``AnalysisException: Multiple applyInPandasWithStates are not
+    supported``, verified on this engine), and the budget state is keyed
+    by domain while the dedup state is keyed by fingerprint, so they
+    cannot share a state machine either. The standard bridge is a staging
+    file sink: query 1 writes budget-admitted pages as parquet (exactly-
+    once via the file-sink metadata log), query 2 tails that directory
+    through the file source. The staging table is not dead weight — it IS
+    the replayable admitted-crawl archive a production pipeline wants
+    between fetch and curation (reprocess with new gates without
+    re-crawling).
+
+    Returns ``(budget_query, curated_df)``: the budget query is started
+    (``trigger`` kwargs, e.g. ``{"availableNow": True}``, apply to it);
+    the caller starts a sink on ``curated_df``. ``curate_kwargs`` pass
+    through to ``curate_stream``.
+    """
+    budgeted = domain_budget_stream(stream_df, cap=cap, ttl_ms=ttl_ms)
+    writer = (
+        budgeted.writeStream.format("parquet")
+        .option("path", stage_dir)
+        .option("checkpointLocation", stage_checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    budget_query = writer.start()
+    staged = spark.readStream.schema(BUDGETED_SCHEMA).parquet(stage_dir)
+    return budget_query, curate_stream(staged, **curate_kwargs)

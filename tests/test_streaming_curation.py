@@ -229,6 +229,82 @@ def test_domain_budget_stream_caps_across_batches(spark, tmp_path):
     assert len(h0_batch2) == 1
 
 
+def test_budget_then_curate_two_query_pipeline(spark, tmp_path):
+    """The composed crawl pipeline: budget query stages admitted pages via
+    the file sink, curation query tails the stage. Single-query chaining
+    of two applyInPandasWithState stages is rejected by the engine
+    (pinned here), the staged pages respect the cap, and the curated
+    output equals curate_stream run directly over the admitted pages."""
+    import re
+
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from cpp_paddle_ocr_spark.streaming.curation import (
+        budget_then_curate,
+        domain_budget_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    generate_documents(spark, 40, oversize_max=2_000_000).write.parquet(in_dir)
+
+    # the engine constraint the two-query design exists for
+    s = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(in_dir)
+    chained = curate_stream(
+        domain_budget_stream(s, cap=2).select("url", "html")
+    )
+    with pytest.raises(AnalysisException, match="applyInPandasWithState"):
+        (
+            chained.writeStream.format("memory")
+            .queryName("never_runs")
+            .option("checkpointLocation", str(tmp_path / "ck_never"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    cap = 3
+    stage = str(tmp_path / "stage")
+    s2 = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(in_dir)
+    bq, curated = budget_then_curate(
+        spark,
+        s2,
+        stage_dir=stage,
+        stage_checkpoint=str(tmp_path / "ck_budget"),
+        cap=cap,
+        trigger={"availableNow": True},
+        lang="en",
+        min_quality=0.3,
+    )
+    bq.awaitTermination(180)
+    cq = (
+        curated.writeStream.format("memory")
+        .queryName("pipeline_t")
+        .option("checkpointLocation", str(tmp_path / "ck_curate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    cq.awaitTermination(180)
+    rows = spark.sql("select * from pipeline_t").collect()
+    assert rows
+
+    # staged pages respect the per-domain cap
+    staged = spark.read.parquet(stage)
+    per_domain = {
+        r.domain: r.n
+        for r in staged.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_domain and all(n <= cap for n in per_domain.values())
+
+    # curated output == curating the admitted pages directly (batch check:
+    # same gate chain over the staged table, dedup to distinct texts)
+    stage2 = str(tmp_path / "stage_as_input")
+    staged.select("url", "html").write.parquet(stage2)
+    batch = _batch_kept_fps(spark, stage2, "en", 0.3)
+    assert {r.fp for r in rows} == set(batch)
+    for r in rows:
+        assert re.match(r"https://([^/]+)/", r.url)
+
+
 def test_curate_stream_redact_pii(spark, tmp_path):
     """redact_pii=True: output text is exactly the batch redaction of the
     plain run's text, fp is md5 of the REDACTED text, and planted PII in a
