@@ -22,6 +22,7 @@ from cpp_paddle_ocr_spark.operators import (
     governance,
     layout,
     quantize,
+    regression,
     relational,
     similarity,
     text_analysis,
@@ -188,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(corpus.QUERIES)
     q.update(quantize.QUERIES)
     q.update(governance.QUERIES)
+    q.update(regression.QUERIES)
     # extraction cascade (fused + staged): full-oracle via the committed
     # golden TSV — the fixture rows are a prefix of the golden set
     q["extract_pages"] = _q_extract_pages
@@ -212,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(corpus.ORACLES)
     o.update(quantize.ORACLES)
     o.update(governance.ORACLES)
+    o.update(regression.ORACLES)
     o["extract_golden_parity"] = _EXTRACT_GOLDEN_SQL
     o["multimodal_meta"] = _MEDIA_META_SQL
     o["status_windowed"] = _WINDOWED_QUALITY_SQL

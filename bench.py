@@ -34,6 +34,7 @@ from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     governance,
     layout,
     quantize,
+    regression,
     relational,
     similarity,
     text_analysis,
@@ -147,6 +148,9 @@ def main() -> None:
         ("fingerprint", text_analysis.QUERIES["fingerprint"]),
         ("status_agg", relational.QUERIES["status_agg"]),
         ("overlap_iou", relational.QUERIES["overlap_iou"]),
+        ("revisit_latest", relational.QUERIES["revisit_latest"]),
+        ("quality_fit", regression.QUERIES["quality_fit"]),
+        ("quality_fit_predict", regression.QUERIES["quality_fit_predict"]),
     ]
     # remaining driver query families (round-4 verdict bench-coverage nit):
     # the staged-cascade variant and the media header decode run over their

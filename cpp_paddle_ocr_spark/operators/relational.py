@@ -179,6 +179,100 @@ FROM events
 """
 
 
+def revisit_latest(df: DataFrame) -> DataFrame:
+    """Crawl-revisit snapshot resolution over the fetch log: one row per
+    URL with its LATEST snapshot plus revisit/change accounting —
+    ``(url_key, last_event_id, last_ts_us, last_fp, n_fetches,
+    n_changes)``. ``n_changes`` counts refetches whose content fingerprint
+    differs from the previous fetch (lag over fetch order), the signal a
+    recrawl scheduler reads (static page → crawl less; churning page →
+    crawl more).
+
+    The events table is the fetch log: url = ``user_id:event_type`` (the
+    synthetic key — the driver tables carry no URL column), fetch time =
+    ``ts`` (exact integer µs, the ``overlap_iou`` component-epoch
+    discipline), content fingerprint = ``md5(props)``. Total order inside
+    a URL is (ts, event_id) so ties resolve identically in both engines.
+
+    Scale shape (100 TB): ONE shuffle on url_key; the lag and the
+    latest-row rank share that partitioning (Spark re-sorts per window
+    direction but never re-shuffles). Per-key work is the URL's fetch
+    history (revisit counts are small by construction of a crawl cycle);
+    a pathological hot key degrades to one task's sort — the salted
+    two-stage discipline of ``governance.domain_cap`` applies if a real
+    log ever has one."""
+    ts_us = F.expr(
+        "cast(unix_date(cast(ts as date)) as bigint) * 86400000000"
+        " + cast(hour(ts) * 3600 + minute(ts) * 60 as bigint) * 1000000"
+        " + cast(date_part('second', ts) * 1000000 as bigint)"
+    )
+    base = df.select(
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("event_type")
+        ).alias("url_key"),
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.md5(F.col("props")).alias("fp"),
+    )
+    w_asc = Window.partitionBy("url_key").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy("url_key").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    w_key = Window.partitionBy("url_key")
+    marked = base.withColumn("prev_fp", F.lag("fp").over(w_asc)).withColumn(
+        "changed",
+        F.when(F.col("prev_fp").isNull(), F.lit(0))
+        .when(F.col("fp") != F.col("prev_fp"), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return (
+        marked.select(
+            "url_key",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("fp").alias("last_fp"),
+            F.count("*").over(w_key).alias("n_fetches"),
+            F.sum("changed").over(w_key).cast("long").alias("n_changes"),
+            F.row_number().over(w_desc).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+REVISIT_SQL = """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS url_key,
+         event_id,
+         epoch_us(ts) AS ts_us,
+         md5(props) AS fp
+  FROM events
+),
+marked AS (
+  SELECT url_key, event_id, ts_us, fp,
+         CASE WHEN lag(fp) OVER w IS NULL THEN 0
+              WHEN fp <> lag(fp) OVER w THEN 1 ELSE 0 END AS changed
+  FROM base
+  WINDOW w AS (PARTITION BY url_key ORDER BY ts_us ASC, event_id ASC)
+)
+SELECT url_key, last_event_id, last_ts_us, last_fp, n_fetches, n_changes
+FROM (
+  SELECT url_key,
+         event_id AS last_event_id,
+         ts_us AS last_ts_us,
+         fp AS last_fp,
+         count(*) OVER (PARTITION BY url_key) AS n_fetches,
+         CAST(sum(changed) OVER (PARTITION BY url_key) AS BIGINT)
+           AS n_changes,
+         row_number() OVER (PARTITION BY url_key
+                            ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM marked
+) WHERE rn = 1
+"""
+
+
 def broadcast_join_agg(
     orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:
@@ -250,6 +344,10 @@ def q_doc_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_order_sort(load(spark, sf_dir, "events"))
 
 
+def q_revisit_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revisit_latest(load(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "broadcast_join_agg": q_broadcast_join,
     "status_agg": q_status,
@@ -258,6 +356,7 @@ QUERIES = {
     "window_dedup": q_window_dedup,
     "overlap_iou": q_overlap,
     "doc_order_sort": q_doc_order,
+    "revisit_latest": q_revisit_latest,
 }
 
 ORACLES = {
@@ -268,4 +367,5 @@ ORACLES = {
     "window_dedup": WINDOW_DEDUP_SQL,
     "overlap_iou": OVERLAP_SQL,
     "doc_order_sort": DOC_ORDER_SQL,
+    "revisit_latest": REVISIT_SQL,
 }
