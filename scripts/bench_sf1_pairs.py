@@ -37,6 +37,7 @@ from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     dedup,
     governance,
     quantize,
+    regression,
     relational,
     similarity,
     text_analysis,
@@ -82,6 +83,9 @@ QUERY_SET = [
     ("decontaminate", governance.QUERIES["decontaminate"]),
     ("pack_chunks", governance.QUERIES["pack_chunks"]),
     ("pii_redact", governance.QUERIES["pii_redact"]),
+    ("revisit_latest", relational.QUERIES["revisit_latest"]),
+    ("quality_fit", regression.QUERIES["quality_fit"]),
+    ("quality_fit_predict", regression.QUERIES["quality_fit_predict"]),
 ]
 
 N_PAIRS = 3
