@@ -17,6 +17,9 @@ streaming-safe pieces into that pipeline:
                  → optional CCNet perplexity gate (a batch-TRAINED unigram
                    model applied as a stateless literal-map projection —
                    see ``lm_model`` below)
+                 → optional distilled-regressor gate (batch-FIT
+                   ``regression.quality_fit`` coefficients applied as three
+                   multiply-adds per row — see ``distill_model`` below)
                  → cross-batch exact dedup on the text fingerprint
                    (applyInPandasWithState, first-seen wins, optional TTL)
 
@@ -60,6 +63,7 @@ CURATED_SCHEMA = T.StructType(
         T.StructField("dup_trigram_frac", T.DoubleType(), True),
         T.StructField("token_entropy", T.DoubleType(), True),
         T.StructField("bits_per_token", T.DoubleType(), True),
+        T.StructField("pred_bits", T.DoubleType(), True),
         T.StructField("fp", T.StringType(), False),
     ]
 )
@@ -76,6 +80,8 @@ def curate_stream(
     lm_model: dict | None = None,
     lm_total_tf: int | None = None,
     lm_max_bits: float | None = None,
+    distill_model: tuple | None = None,
+    distill_max_bits: float | None = None,
 ) -> DataFrame:
     """Pages stream → curated, fingerprint-deduplicated text stream.
 
@@ -107,6 +113,16 @@ def curate_stream(
     given) drops rows scoring above the threshold; ``bits_per_token``
     rides along for audit (NULL when no model is configured — only the
     model TRAINING is batch-side, per the lambda split above).
+
+    ``distill_model`` is the cheaper alternative when even the literal-map
+    token walk is too much: the ``(intercept, coef_ntok, coef_nstop)``
+    coefficients of a batch-side ``regression.quality_fit`` (the distilled
+    linear mimic of the LM signal), applied per row as three multiply-adds
+    over JVM-expression features (``regression.distilled_bits_col``).
+    ``distill_max_bits`` gates on the predicted bits; ``pred_bits`` rides
+    along for audit (NULL when no distilled model is configured). Both
+    model gates follow the same lambda split: training batches, scoring
+    streams.
     """
     from ..operators.governance import EMAIL_RE, IPV4_RE, PHONE_RE
     from .ingest import extract_stream
@@ -149,6 +165,16 @@ def curate_stream(
         gated = gated.withColumn(
             "bits_per_token", F.lit(None).cast("double")
         )
+    if distill_model is not None:
+        from ..operators.regression import distilled_bits_col
+
+        gated = gated.withColumn(
+            "pred_bits", distilled_bits_col(distill_model, "text")
+        )
+        if distill_max_bits is not None:
+            gated = gated.filter(F.col("pred_bits") <= distill_max_bits)
+    else:
+        gated = gated.withColumn("pred_bits", F.lit(None).cast("double"))
     if redact_pii:
         # gates ran on the raw text (PII does not change quality); the
         # emitted text and the dedup identity are the redacted form

@@ -375,3 +375,72 @@ def test_curate_stream_redact_pii(spark, tmp_path):
             saw_redaction = True
             assert "alice.smith@mail.example.org" not in red.text
     assert saw_redaction, "planted email never reached a curated row"
+
+
+def test_curate_stream_distilled_gate(spark, tmp_path):
+    """Distilled-regressor gate in the stream: quality_fit coefficients fit
+    batch-side, applied as a stateless projection. Emitted pred_bits must
+    match an independent Python recomputation under the same betas, and the
+    kept set must be exactly the no-model kept set minus rows over the
+    threshold."""
+    import hashlib
+
+    from cpp_paddle_ocr_spark.operators.regression import quality_fit
+    from cpp_paddle_ocr_spark.operators.text_analysis import EN_STOPS
+
+    in_dir = str(tmp_path / "in")
+    generate_documents(spark, 40, oversize_max=2_000_000).write.parquet(in_dir)
+
+    # batch-side fit over the extracted corpus (the stored-table side of
+    # the lambda split); doc_id = url hash, any unique long works
+    corpus = (
+        extract(spark.read.parquet(in_dir))
+        .filter(F.col("success") & F.col("extracted_text").isNotNull())
+        .select(
+            F.conv(F.substring(F.md5("url"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("extracted_text").alias("text"),
+        )
+    )
+    fit = quality_fit(corpus).first()
+    betas = (fit.intercept, fit.coef_ntok, fit.coef_nstop)
+
+    stops = set(EN_STOPS)
+
+    def py_pred(text: str) -> float:
+        toks = text.split()
+        x1 = float(len(toks))
+        x2 = float(len({t for t in text.lower().split() if t in stops}))
+        return betas[0] + betas[1] * x1 + betas[2] * x2
+
+    def run(name: str, **kw):
+        s = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(in_dir)
+        q = (
+            curate_stream(s, lang="en", min_quality=0.3, **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.sql(f"select * from {name}").collect()
+
+    plain = run("distill_plain")
+    assert plain and all(r.pred_bits is None for r in plain)
+    preds = sorted(py_pred(r.text) for r in plain)
+    cut = preds[len(preds) // 2]
+    gated = run(
+        "distill_gated", distill_model=betas, distill_max_bits=cut
+    )
+    assert gated and len(gated) < len(plain)
+    for r in gated:
+        assert abs(r.pred_bits - round(py_pred(r.text), 6)) < 1e-9
+        assert r.pred_bits <= cut
+    exp = {
+        hashlib.md5(r.text.encode()).hexdigest()
+        for r in plain
+        if round(py_pred(r.text), 6) <= cut
+    }
+    assert {r.fp for r in gated} == exp
