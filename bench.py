@@ -132,6 +132,7 @@ def main() -> None:
         ("chunk_documents", text_analysis.QUERIES["chunk_documents"]),
         ("hash_sample", text_analysis.QUERIES["hash_sample"]),
         ("mix_sample", text_analysis.QUERIES["mix_sample"]),
+        ("temperature_sample", text_analysis.QUERIES["temperature_sample"]),
         ("term_stats", text_analysis.QUERIES["term_stats"]),
         ("vocab_topk", text_analysis.QUERIES["vocab_topk"]),
         ("encode_documents", text_analysis.QUERIES["encode_documents"]),

@@ -916,6 +916,139 @@ WHERE {h60_sql('CAST(doc_id AS VARCHAR)')} % 100
 """
 
 
+# Temperature-flattened mixture: compute per-source sampling weights from
+# corpus token shares (weight ∝ share^alpha, the multinomial-smoothing rule
+# multilingual/multi-source pretraining uses to keep head sources from
+# drowning tail sources), then apply them with the md5-bucket discipline.
+# ``mix_sample`` above takes GIVEN percentages; this family derives them.
+
+MIX_ALPHA = 0.5
+
+
+def _pow_alpha_expr(x: str, alpha: float) -> str:
+    """x^alpha for the IEEE-exact temperature ladder alpha ∈ {1, 0.75,
+    0.5, 0.25} — compositions of sqrt (correctly rounded per IEEE 754 in
+    every engine) and one multiply, so both engines produce bit-identical
+    doubles. General pow() is NOT on the ladder deliberately: libm pow is
+    not guaranteed correctly rounded, so a cross-engine last-ulp
+    disagreement could survive the 6-dp round at a boundary."""
+    if alpha == 1.0:
+        return x
+    if alpha == 0.5:
+        return f"sqrt({x})"
+    if alpha == 0.25:
+        return f"sqrt(sqrt({x}))"
+    if alpha == 0.75:
+        return f"(sqrt({x}) * sqrt(sqrt({x})))"
+    raise ValueError(
+        f"alpha must be one of 1.0, 0.75, 0.5, 0.25 (IEEE-exact sqrt "
+        f"ladder), got {alpha!r}"
+    )
+
+
+def mix_weights(df: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
+    """Per-source mixture weights from token shares: ``(source, n_docs,
+    n_tokens, token_share, weight_rel, keep_pct)``.
+
+    ``weight_rel = (n_tokens/max_tokens)^alpha`` — 1.0 for the biggest
+    source, rising toward 1.0 for tail sources as alpha falls (alpha=1 is
+    proportional sampling, alpha→0 is uniform). ``keep_pct`` is the
+    round-half-up integer percentage ``temperature_sample`` feeds to the
+    md5-bucket filter. Token counts are exact BIGINTs, the power ladder is
+    IEEE-exact, so every output is cross-engine deterministic.
+
+    Scale shape: one map-side-combined aggregate keyed by source (the
+    domain cardinality), two scalar reductions over that tiny frame
+    broadcast back — nothing bigger than the source list ever moves."""
+    ntok = (
+        F.when(F.col("text").isNotNull(), F.size(tokens(F.col("text"))))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    per = df.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(ntok).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    pa = _pow_alpha_expr("cast(n_tokens as double)", alpha)
+    pm = _pow_alpha_expr("cast(max_tokens as double)", alpha)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "round(cast(n_tokens as double) / cast(total_tokens as double), 6)"
+        ).alias("token_share"),
+        F.expr(f"round({pa} / {pm}, 6)").alias("weight_rel"),
+        F.expr(f"cast(floor(100.0 * ({pa} / {pm}) + 0.5) as int)").alias(
+            "keep_pct"
+        ),
+    )
+
+
+def temperature_sample(df: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
+    """Apply the temperature-derived per-source percentages as a
+    deterministic mixture sample: ``(doc_id, source, bucket, keep_pct)``
+    rows surviving ``md5_bucket(doc_id) < keep_pct``. The weights frame is
+    source-cardinality-sized and broadcast, so the sample is one scan with
+    a map-side hash join — the same at-scale shape as ``mix_sample`` with
+    the weights computed instead of configured."""
+    w = mix_weights(df, alpha).select("source", "keep_pct")
+    bucket = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        df.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(w), "source")
+        .select("doc_id", "source", "bucket", "keep_pct")
+        .filter(F.col("bucket") < F.col("keep_pct"))
+    )
+
+
+def _mix_weights_sql(alpha: float = MIX_ALPHA) -> str:
+    pa = _pow_alpha_expr("cast(n_tokens as double)", alpha)
+    pm = _pow_alpha_expr("cast(max_tokens as double)", alpha)
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(coalesce(len({tokens_sql('text')}), 0)) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         max(n_tokens) AS max_tokens
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(cast(n_tokens as double) / cast(total_tokens as double), 6)
+         AS token_share,
+       round({pa} / {pm}, 6) AS weight_rel,
+       CAST(floor(100.0 * ({pa} / {pm}) + 0.5) AS INT) AS keep_pct
+FROM per, tot
+"""
+
+
+MIX_WEIGHTS_SQL = _mix_weights_sql()
+
+TEMPERATURE_SAMPLE_SQL = f"""
+WITH w AS (SELECT source, keep_pct FROM ({_mix_weights_sql()}))
+SELECT d.doc_id, d.source,
+       {h60_sql('CAST(d.doc_id AS VARCHAR)')} % 100 AS bucket,
+       w.keep_pct
+FROM documents d JOIN w USING (source)
+WHERE {h60_sql('CAST(d.doc_id AS VARCHAR)')} % 100 < w.keep_pct
+"""
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mix_weights(load(spark, sf_dir, "documents"))
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_sample(load(spark, sf_dir, "documents"))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load(spark, sf_dir, "documents"))
 
@@ -946,6 +1079,8 @@ ORACLES = {
     "chunk_documents": CHUNK_SQL,
     "hash_sample": HASH_SAMPLE_SQL,
     "mix_sample": MIX_SAMPLE_SQL,
+    "mix_weights": MIX_WEIGHTS_SQL,
+    "temperature_sample": TEMPERATURE_SAMPLE_SQL,
     "term_stats": TERM_STATS_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "encode_documents": ENCODE_SQL,
@@ -964,6 +1099,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "hash_sample": q_hash_sample,
     "mix_sample": q_mix_sample,
+    "mix_weights": q_mix_weights,
+    "temperature_sample": q_temperature_sample,
     "term_stats": q_term_stats,
     "vocab_topk": q_vocab_topk,
     "encode_documents": q_encode_documents,

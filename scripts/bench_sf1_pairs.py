@@ -86,6 +86,7 @@ QUERY_SET = [
     ("revisit_latest", relational.QUERIES["revisit_latest"]),
     ("quality_fit", regression.QUERIES["quality_fit"]),
     ("quality_fit_predict", regression.QUERIES["quality_fit_predict"]),
+    ("temperature_sample", text_analysis.QUERIES["temperature_sample"]),
 ]
 
 N_PAIRS = 3

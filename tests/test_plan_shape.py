@@ -171,3 +171,17 @@ def test_tfidf_no_window_no_cartesian(spark):
     plan = plan_of(text_analysis.QUERIES["tfidf_topterms"](spark, SF))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_sample_broadcasts_weights(spark):
+    """The derived per-source weights frame (source-cardinality rows) must
+    reach the sample as a broadcast — the scan side is never shuffled for
+    the join, and no sort-merge/cartesian appears."""
+    from cpp_paddle_ocr_spark.operators import text_analysis
+
+    plan = plan_of(text_analysis.QUERIES["temperature_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one scan feeds the weights aggregate, one feeds the sampled rows
+    assert plan.count("Scan parquet") == 2

@@ -149,6 +149,57 @@ def test_mix_sample_rates_and_nesting(spark):
     assert {s for d, s in out2.items() if d not in out} == {"src2"}
 
 
+def test_mix_weights_temperature_semantics(spark):
+    """mix_weights: the biggest source pins weight_rel=1.0; lowering alpha
+    raises every tail source's relative weight (temperature flattening);
+    alpha=1 reproduces proportional token shares; temperature_sample keeps
+    exactly the docs whose md5 bucket clears the derived keep_pct."""
+    import hashlib
+
+    from cpp_paddle_ocr_spark.operators.text_analysis import (
+        mix_weights,
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w_half = {r.source: r for r in mix_weights(docs, 0.5).collect()}
+    w_prop = {r.source: r for r in mix_weights(docs, 1.0).collect()}
+    big = max(w_half.values(), key=lambda r: r.n_tokens).source
+    assert w_half[big].weight_rel == 1.0 == w_prop[big].weight_rel
+    assert w_half[big].keep_pct == 100
+    for s, r in w_half.items():
+        if s == big:
+            continue
+        assert r.weight_rel > w_prop[s].weight_rel  # flattening lifts tails
+        assert 0 < r.keep_pct <= 100
+    # alpha=1 → weight_rel is the plain token ratio vs the biggest source
+    max_tok = w_prop[big].n_tokens
+    for s, r in w_prop.items():
+        assert abs(r.weight_rel - round(r.n_tokens / max_tok, 6)) < 1e-9
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    kept = {r.doc_id: r for r in temperature_sample(docs, 0.5).collect()}
+    exp = {
+        r.doc_id
+        for r in docs.select("doc_id", "source").collect()
+        if bucket(r.doc_id) < w_half[r.source].keep_pct
+    }
+    assert set(kept) == exp and 0 < len(kept) < docs.count()
+
+
+def test_pow_alpha_ladder_rejects_off_ladder(spark):
+    import pytest as _pytest
+
+    from cpp_paddle_ocr_spark.operators.text_analysis import _pow_alpha_expr
+
+    assert _pow_alpha_expr("x", 1.0) == "x"
+    assert _pow_alpha_expr("x", 0.25) == "sqrt(sqrt(x))"
+    with _pytest.raises(ValueError):
+        _pow_alpha_expr("x", 0.3)
+
+
 def test_chunk_documents_null_text_no_rows(spark):
     from cpp_paddle_ocr_spark.operators.text_analysis import chunk_documents
 
