@@ -959,14 +959,20 @@ def mix_weights(df: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
 
     Scale shape: one map-side-combined aggregate keyed by source (the
     domain cardinality), two scalar reductions over that tiny frame
-    broadcast back — nothing bigger than the source list ever moves."""
+    broadcast back — nothing bigger than the source list ever moves. The
+    per-source frame feeds two plan branches (the output rows and the
+    total/max reduction); Catalyst has no cross-branch subplan reuse, so
+    it is eagerly localCheckpointed (one disclosed plan-time job) to keep
+    the corpus scan count at one instead of two."""
     ntok = (
         F.when(F.col("text").isNotNull(), F.size(tokens(F.col("text"))))
         .otherwise(F.lit(0))
         .cast("long")
     )
-    per = df.groupBy("source").agg(
-        F.count("*").alias("n_docs"), F.sum(ntok).alias("n_tokens")
+    per = (
+        df.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum(ntok).alias("n_tokens"))
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(
         F.sum("n_tokens").alias("total_tokens"),

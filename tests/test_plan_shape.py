@@ -183,5 +183,10 @@ def test_temperature_sample_broadcasts_weights(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # one scan feeds the weights aggregate, one feeds the sampled rows
-    assert plan.count("Scan parquet") == 2
+    # the weights branch is an eager localCheckpoint (plan-time job), so
+    # the executed plan reads parquet exactly once — for the sampled rows
+    assert plan.count("Scan parquet") == 1
+    # mix_weights itself: the checkpointed per-source frame feeds both the
+    # output rows and the total/max reduction without re-scanning parquet
+    wplan = plan_of(text_analysis.QUERIES["mix_weights"](spark, SF))
+    assert wplan.count("Scan parquet") == 0  # reads the checkpoint blocks
