@@ -124,9 +124,11 @@ def main() -> None:
         ("sim_knn_multitable", similarity.q_knn_join_multitable_batched),
         ("emb_quantize_report", quantize.QUERIES["emb_quantize_report"]),
         # cluster resolution: verified pairs → connected components
+        ("dedup_increment", dedup.QUERIES["dedup_increment"]),
         ("dedup_clusters", clustering.QUERIES["dedup_clusters"]),
         ("sim_semantic_clusters", clustering.q_semantic_clusters_batched),
         ("corpus_keep", corpus.QUERIES["corpus_keep"]),
+        ("corpus_stats", corpus.QUERIES["corpus_stats"]),
         ("repetition_stats", text_analysis.QUERIES["repetition_stats"]),
         ("repetition_filter", text_analysis.QUERIES["repetition_filter"]),
         ("chunk_documents", text_analysis.QUERIES["chunk_documents"]),

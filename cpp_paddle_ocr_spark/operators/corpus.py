@@ -142,5 +142,110 @@ def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_keep(load(spark, sf_dir, "documents"))
 
 
-QUERIES = {"corpus_keep": q_corpus_keep}
-ORACLES = {"corpus_keep": CORPUS_KEEP_SQL}
+# --- corpus report card ------------------------------------------------------
+
+
+def corpus_stats(df: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus report card — the before/after-curation
+    summary a data team reads to understand what a delivery contains:
+    ``(source, lang, n_docs, n_null_text, n_tokens, avg_doc_tokens,
+    avg_quality, doc_share)``.
+
+    ``avg_quality`` averages the fused quality projection over non-NULL
+    texts only (NULL-text rows count in ``n_docs``/``n_null_text`` but
+    contribute neither tokens nor quality). Scale shape: one scan, one
+    map-side-combined aggregate keyed by (source, lang) — the group
+    cardinality, not the data size; the tiny grouped frame is eagerly
+    localCheckpointed (Catalyst has no cross-branch reuse) so the
+    total-docs share reduction does not rescan the corpus."""
+    from .text_analysis import quality_cols
+
+    base = df.select(
+        "source",
+        "lang",
+        F.col("text").isNull().cast("int").alias("is_null"),
+        *quality_cols(),
+    )
+    per = (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_null").cast("long").alias("n_null_text"),
+            F.sum(
+                F.when(F.col("is_null") == 0, F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.round(
+                F.avg(F.when(F.col("is_null") == 0, F.col("quality"))), 6
+            ).alias("avg_quality"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(F.sum("n_docs").alias("total_docs"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_null_text",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_doc_tokens"),
+        "avg_quality",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("total_docs"), 6
+        ).alias("doc_share"),
+    )
+
+
+def _corpus_stats_sql() -> str:
+    from .text_analysis import EN_STOPS
+    from .common import tokens_sql
+
+    return f"""
+WITH q AS (
+  SELECT source, lang,
+         CASE WHEN text IS NULL THEN 1 ELSE 0 END AS is_null,
+         len({tokens_sql('text')}) AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+           AS n_punct,
+         len(list_intersect({tokens_sql('lower(text)')}, {EN_STOPS!r})) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT source, lang, is_null, n_tokens,
+         round(0.5 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)
+             + 0.2 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                            ELSE 0.0 END),
+             6) AS quality
+  FROM q
+),
+per AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(is_null) AS BIGINT) AS n_null_text,
+         CAST(sum(CASE WHEN is_null = 0 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS n_tokens,
+         round(avg(CASE WHEN is_null = 0 THEN quality END), 6) AS avg_quality
+  FROM scored GROUP BY source, lang
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
+SELECT source, lang, n_docs, n_null_text, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens,
+       avg_quality,
+       round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS doc_share
+FROM per, tot
+"""
+
+
+CORPUS_STATS_SQL = _corpus_stats_sql()
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats(load(spark, sf_dir, "documents"))
+
+
+QUERIES = {"corpus_keep": q_corpus_keep, "corpus_stats": q_corpus_stats}
+ORACLES = {"corpus_keep": CORPUS_KEEP_SQL, "corpus_stats": CORPUS_STATS_SQL}

@@ -563,6 +563,104 @@ sel AS (
 SELECT DISTINCT doc_id, p AS pos, gh AS gram_hash FROM sel WHERE rn = 1
 """
 
+# --- incremental dedup -------------------------------------------------------
+#
+# The production recurring shape: a new crawl increment arrives and must be
+# deduplicated against the ALREADY-CURATED corpus without re-processing the
+# corpus — re-running corpus-wide dedup per crawl would re-shuffle 100 TB
+# for every delivery. The corpus contributes only its distinct fingerprint
+# set; the increment is flagged row-by-row with an audit column instead of
+# silently dropped, mirroring ``corpus_keep``'s keep+reason discipline.
+
+
+def dedup_increment(new_df: DataFrame, corpus_df: DataFrame) -> DataFrame:
+    """Flag a crawl increment against an existing corpus:
+    ``(doc_id, fp, dup_source, keep)`` for every increment row.
+
+    ``fp`` is ``md5(text)`` (the ``exact_dedup`` key; NULL text → NULL fp).
+    ``dup_source`` is ``'corpus'`` when the fingerprint already exists in
+    the corpus, ``'increment'`` when a lower-doc_id increment row shares
+    the fingerprint (first-seen-wins, the batch analog of the streaming
+    first-seen dedup), else NULL; ``keep = dup_source IS NULL``. NULL-fp
+    rows are always kept — an absent text cannot testify to duplication.
+
+    Scale shape: the corpus side collapses to its distinct fingerprints
+    (map-side-combined aggregate) before the equi-join, so the corpus text
+    is never shuffled. The within-increment keeper is a per-fingerprint
+    window min whose partition key salts NULL fps with a per-row hash —
+    NULL-text rows land in singleton partitions, so they are never marked
+    duplicates of each other and can never form a skewed NULL partition."""
+    inc = new_df.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    corpus_fps = (
+        corpus_df.select(F.md5(F.col("text")).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    from pyspark.sql import Window
+
+    part = F.coalesce(F.col("fp"), F.md5(F.col("doc_id").cast("string")))
+    first_id = F.min("doc_id").over(Window.partitionBy(part))
+    dup_source = (
+        F.when(F.col("in_corpus"), F.lit("corpus"))
+        .when(F.col("doc_id") > F.col("first_id"), F.lit("increment"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        inc.withColumn("first_id", first_id)
+        .join(corpus_fps, "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            dup_source.alias("dup_source"),
+            dup_source.isNull().alias("keep"),
+        )
+    )
+
+
+#: driver split: corpus = md5-bucket(doc_id) < 60, increment = bucket >= 40 —
+#: the same partitioning-independent bucket ``hash_sample`` uses. The two
+#: OVERLAP on buckets 40-59, simulating a recrawl that re-fetches pages the
+#: corpus already holds (the flag the operator exists to raise).
+_INC_SPLIT = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100"
+
+DEDUP_INCREMENT_SQL = f"""
+WITH inc AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE {_INC_SPLIT} >= 40
+),
+corpus AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents
+  WHERE {_INC_SPLIT} < 60 AND text IS NOT NULL
+),
+flagged AS (
+  SELECT i.doc_id, i.fp,
+         min(i.doc_id) OVER (
+           PARTITION BY coalesce(i.fp, md5(CAST(i.doc_id AS VARCHAR)))
+         ) AS first_id,
+         (c.fp IS NOT NULL) AS in_corpus
+  FROM inc i LEFT JOIN corpus c ON i.fp = c.fp
+)
+SELECT doc_id, fp,
+       CASE WHEN in_corpus THEN 'corpus'
+            WHEN doc_id > first_id THEN 'increment'
+            ELSE NULL END AS dup_source,
+       (CASE WHEN in_corpus THEN 'corpus'
+             WHEN doc_id > first_id THEN 'increment'
+             ELSE NULL END) IS NULL AS keep
+FROM flagged
+"""
+
+
+def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import h60
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(100))
+    return dedup_increment(
+        docs.filter(bucket >= 40), docs.filter(bucket < 60)
+    )
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -607,6 +705,7 @@ QUERIES = {
     "dedup_lsh_pairs": q_lsh_pairs,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding_neardup": q_embedding_neardup,
+    "dedup_increment": q_dedup_increment,
 }
 
 ORACLES = {
@@ -618,4 +717,5 @@ ORACLES = {
     "dedup_lsh_pairs": LSH_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "dedup_embedding_neardup": NEARDUP_SQL,
+    "dedup_increment": DEDUP_INCREMENT_SQL,
 }

@@ -87,6 +87,8 @@ QUERY_SET = [
     ("quality_fit", regression.QUERIES["quality_fit"]),
     ("quality_fit_predict", regression.QUERIES["quality_fit_predict"]),
     ("temperature_sample", text_analysis.QUERIES["temperature_sample"]),
+    ("dedup_increment", dedup.QUERIES["dedup_increment"]),
+    ("corpus_stats", corpus.QUERIES["corpus_stats"]),
 ]
 
 N_PAIRS = 3

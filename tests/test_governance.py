@@ -230,3 +230,29 @@ def test_corpus_keep_lm_gate(spark):
     assert 0 < len(gated) < len(base)
     for did, r in gated.items():
         assert r.bits_per_token == bits[did]
+
+
+def test_corpus_stats_report_card(spark):
+    """Null-text rows count in n_docs/n_null_text but contribute no tokens
+    or quality; doc shares sum to 1; hand-checked group values."""
+    from cpp_paddle_ocr_spark.operators.corpus import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "d e", "en", "s1"),
+            (3, None, "en", "s1"),
+            (4, "x", "de", "s2"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = {(r.source, r.lang): r for r in corpus_stats(df).collect()}
+    s1 = out[("s1", "en")]
+    assert s1.n_docs == 3 and s1.n_null_text == 1
+    assert s1.n_tokens == 5  # 3 + 2, null text adds none
+    assert abs(s1.avg_doc_tokens - round(5 / 3, 6)) < 1e-9
+    assert s1.avg_quality is not None  # averaged over the 2 non-null texts
+    assert abs(s1.doc_share - 0.75) < 1e-9
+    s2 = out[("s2", "de")]
+    assert s2.n_docs == 1 and s2.n_null_text == 0 and s2.n_tokens == 1
+    assert abs(sum(r.doc_share for r in out.values()) - 1.0) < 1e-6

@@ -263,3 +263,45 @@ def test_tfidf_topterms_hand_example(spark):
         (2, 2, "cherry", round(1 * idf(2), 6)),
     ]
     assert sorted(out) == sorted(exp)
+
+
+def test_dedup_increment_flags_all_three_states(spark):
+    """corpus-dup, within-increment dup (first-seen wins), fresh doc, and
+    NULL-text rows (always kept, never dups of each other)."""
+    from cpp_paddle_ocr_spark.operators.dedup import dedup_increment
+
+    corpus = spark.createDataFrame(
+        [(1, "already curated"), (2, "old news")],
+        "doc_id bigint, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "already curated"),   # exact dup of corpus doc 1
+            (11, "fresh content"),     # new -> keep
+            (12, "fresh content"),     # within-increment dup of 11
+            (13, None),                # null text -> keep
+            (14, None),                # null text -> keep (NOT a dup of 13)
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup_increment(inc, corpus).collect()}
+    assert out[10].dup_source == "corpus" and not out[10].keep
+    assert out[11].dup_source is None and out[11].keep
+    assert out[12].dup_source == "increment" and not out[12].keep
+    for null_doc in (13, 14):
+        assert out[null_doc].fp is None
+        assert out[null_doc].dup_source is None and out[null_doc].keep
+    assert len(out) == 5  # every increment row is flagged, none dropped
+
+
+def test_dedup_increment_corpus_precedence_over_increment(spark):
+    """A fingerprint present in BOTH the corpus and earlier in the
+    increment reports 'corpus' (the stronger provenance)."""
+    from cpp_paddle_ocr_spark.operators.dedup import dedup_increment
+
+    corpus = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    inc = spark.createDataFrame(
+        [(10, "x"), (11, "x")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.dup_source for r in dedup_increment(inc, corpus).collect()}
+    assert out == {10: "corpus", 11: "corpus"}

@@ -190,3 +190,28 @@ def test_temperature_sample_broadcasts_weights(spark):
     # output rows and the total/max reduction without re-scanning parquet
     wplan = plan_of(text_analysis.QUERIES["mix_weights"](spark, SF))
     assert wplan.count("Scan parquet") == 0  # reads the checkpoint blocks
+
+
+def test_dedup_increment_plan_shape(spark):
+    """The corpus side must collapse to distinct fingerprints (hash
+    aggregate) before the join — corpus text is never shuffled — and the
+    within-increment keeper is a window, not a self-join; no cartesian."""
+    from cpp_paddle_ocr_spark.operators import dedup
+
+    plan = plan_of(dedup.QUERIES["dedup_increment"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("Scan parquet") == 2  # increment once, corpus once
+    assert "HashAggregate" in plan  # the corpus distinct-fp collapse
+
+
+def test_corpus_stats_single_scan(spark):
+    """The report card is one scan + one grouped aggregate; the total-docs
+    share reduction reads the checkpointed grouped frame, never parquet."""
+    from cpp_paddle_ocr_spark.operators import corpus
+
+    plan = plan_of(corpus.QUERIES["corpus_stats"](spark, SF))
+    assert plan.count("Scan parquet") == 0  # grouped frame is checkpointed
+    assert "CartesianProduct" not in plan
+    # the 1-row total is attached via a broadcast nested-loop, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
