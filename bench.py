@@ -125,6 +125,7 @@ def main() -> None:
         ("emb_quantize_report", quantize.QUERIES["emb_quantize_report"]),
         # cluster resolution: verified pairs → connected components
         ("dedup_increment", dedup.QUERIES["dedup_increment"]),
+        ("dedup_neardup_increment", dedup.QUERIES["dedup_neardup_increment"]),
         ("dedup_clusters", clustering.QUERIES["dedup_clusters"]),
         ("sim_semantic_clusters", clustering.q_semantic_clusters_batched),
         ("corpus_keep", corpus.QUERIES["corpus_keep"]),

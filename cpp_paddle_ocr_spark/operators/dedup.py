@@ -109,18 +109,22 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_sql() -> str:
+def _sig_mins_sql() -> str:
+    """The k min-hash aggregate columns over an exploded-token alias ``u``."""
     h = h28_sql("u.tok")
-    mins = ",\n    ".join(
+    return ",\n    ".join(
         f"min(({h} * {a} + {b}) % {MINHASH_P}) AS s{i}"
         for i, (a, b) in enumerate(_MINHASH_AB)
     )
+
+
+def _minhash_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tok
   FROM documents
 )
-SELECT doc_id, {mins} FROM toks u GROUP BY doc_id
+SELECT doc_id, {_sig_mins_sql()} FROM toks u GROUP BY doc_id
 """
 
 
@@ -137,6 +141,22 @@ MINHASH_SQL = _minhash_sql()
 BAND_KEY_CAP = 256
 
 
+def _band_keys_col():
+    """The 4 LSH band keys (band-index prefix + the band's two signature
+    mins) as one array column over a ``minhash_signatures`` row."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(band)),
+                F.col(f"s{2 * band}").cast("string"),
+                F.col(f"s{2 * band + 1}").cast("string"),
+            )
+            for band in range(MINHASH_PERMS // 2)
+        ]
+    )
+
+
 def lsh_candidate_pairs(df: DataFrame, band_cap: int = BAND_KEY_CAP) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any of 4 (2-row) bands.
 
@@ -149,18 +169,7 @@ def lsh_candidate_pairs(df: DataFrame, band_cap: int = BAND_KEY_CAP) -> DataFram
     from pyspark.sql import Window
 
     sig = minhash_signatures(df)
-    keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(str(band)),
-                F.col(f"s{2 * band}").cast("string"),
-                F.col(f"s{2 * band + 1}").cast("string"),
-            )
-            for band in range(MINHASH_PERMS // 2)
-        ]
-    )
-    all_bands = sig.select("doc_id", F.explode(keys).alias("band_key"))
+    all_bands = sig.select("doc_id", F.explode(_band_keys_col()).alias("band_key"))
     w = Window.partitionBy("band_key")
     counted = all_bands.select(
         "doc_id",
@@ -187,12 +196,17 @@ def lsh_candidate_pairs(df: DataFrame, band_cap: int = BAND_KEY_CAP) -> DataFram
     return dense_pairs.unionByName(star_pairs).distinct()
 
 
-def _lsh_sql(band_cap: int = BAND_KEY_CAP) -> str:
-    band_selects = "\nUNION ALL\n".join(
-        f"SELECT doc_id, concat('{band}', '_', s{2 * band}::VARCHAR, '_', "
-        f"s{2 * band + 1}::VARCHAR) AS band_key FROM sig"
+def _band_selects_sql(src: str, idcol: str = "doc_id") -> str:
+    """UNION ALL of the 4 per-band key selects over a signature CTE."""
+    return "\nUNION ALL\n".join(
+        f"SELECT {idcol}, concat('{band}', '_', s{2 * band}::VARCHAR, '_', "
+        f"s{2 * band + 1}::VARCHAR) AS band_key FROM {src}"
         for band in range(MINHASH_PERMS // 2)
     )
+
+
+def _lsh_sql(band_cap: int = BAND_KEY_CAP) -> str:
+    band_selects = _band_selects_sql("sig")
     return f"""
 WITH sig AS ({MINHASH_SQL}),
 bands AS ({band_selects}),
@@ -661,6 +675,159 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental NEAR-dup ----------------------------------------------------
+#
+# ``dedup_increment`` is the exact-fingerprint fast path; a recrawl mostly
+# re-fetches pages that changed SLIGHTLY (timestamps, rotating ads), which an
+# md5 never matches. This is the similarity path of the same delivery
+# workflow: MinHash/LSH band keys of the increment joined against the
+# corpus's band-key index, then the integer true-Jaccard verify. In
+# production the corpus side of this plan — signatures + band keys — is a
+# precomputed index updated per accepted delivery, not a per-delivery rescan
+# of 100 TB of corpus text; corpus TEXT is read again only for the verified
+# candidates' token sets.
+
+#: keep in sync with ``clustering.JACCARD_VERIFY_PCT`` (clustering imports
+#: from this module, so the constant cannot live there without a cycle)
+NEARDUP_VERIFY_PCT = 80
+
+
+def neardup_increment(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    band_cap: int = BAND_KEY_CAP,
+    verify_pct: int = NEARDUP_VERIFY_PCT,
+) -> DataFrame:
+    """Flag increment docs that are NEAR-duplicates of the corpus:
+    ``(doc_id, match_id, keep)`` for every increment row, where
+    ``match_id`` is the smallest corpus doc_id whose true distinct-token
+    Jaccard ≥ ``verify_pct``/100 among LSH band-key candidates (NULL → no
+    match, ``keep`` = true). NULL/empty-text rows have no signature, hence
+    no candidates: always kept.
+
+    Scale shape: the join is BIPARTITE on band keys — increment bands
+    against corpus bands — never a corpus self-join. Corpus band keys over
+    ``band_cap`` members keep only their anchor (min doc_id) as the
+    family's representative, so per-key join output is bounded by
+    |increment members| × band_cap (the boilerplate-template skew bomb
+    degrades to anchor recall exactly like ``lsh_candidate_pairs``).
+    Verification is the integer cross-multiply (no float rounding
+    contract); corpus token arrays shuffle only for candidate doc_ids."""
+    from pyspark.sql import Window
+
+    inc_bands = minhash_signatures(new_df).select(
+        "doc_id", F.explode(_band_keys_col()).alias("band_key")
+    )
+    cor_bands = minhash_signatures(corpus_df).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.explode(_band_keys_col()).alias("band_key"),
+    )
+    w = Window.partitionBy("band_key")
+    cor_kept = (
+        cor_bands.select(
+            "corpus_id",
+            "band_key",
+            F.count("*").over(w).alias("n_key"),
+            F.min("corpus_id").over(w).alias("anchor"),
+        )
+        .filter(
+            (F.col("n_key") <= band_cap) | (F.col("corpus_id") == F.col("anchor"))
+        )
+        .select("corpus_id", "band_key")
+    )
+    cand = inc_bands.join(cor_kept, "band_key").select("doc_id", "corpus_id").distinct()
+    inc_toks = new_df.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("ta")
+    )
+    cor_toks = corpus_df.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.array_distinct(tokens(F.col("text"))).alias("tb"),
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
+    matches = (
+        cand.join(inc_toks, "doc_id")
+        .join(cor_toks, "corpus_id")
+        .filter(inter * 100 >= union * verify_pct)
+        .groupBy("doc_id")
+        .agg(F.min("corpus_id").alias("match_id"))
+    )
+    return (
+        new_df.select("doc_id")
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id", "match_id", F.col("match_id").isNull().alias("keep")
+        )
+    )
+
+
+def _neardup_increment_sql(
+    band_cap: int = BAND_KEY_CAP, verify_pct: int = NEARDUP_VERIFY_PCT
+) -> str:
+    toks = tokens_sql("text")
+    inter = "len(list_intersect(ta, tb))"
+    return f"""
+WITH inc AS (
+  SELECT doc_id, text FROM documents WHERE {_INC_SPLIT} >= 40
+),
+corpus AS (
+  SELECT doc_id AS corpus_id, text FROM documents WHERE {_INC_SPLIT} < 60
+),
+inc_sig AS (
+  SELECT doc_id, {_sig_mins_sql()}
+  FROM (SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM inc) u
+  GROUP BY doc_id
+),
+cor_sig AS (
+  SELECT corpus_id AS doc_id, {_sig_mins_sql()}
+  FROM (SELECT corpus_id, unnest(list_distinct({toks})) AS tok FROM corpus) u
+  GROUP BY corpus_id
+),
+inc_bands AS ({_band_selects_sql('inc_sig')}),
+cor_bands AS (
+  SELECT doc_id AS corpus_id, band_key
+  FROM ({_band_selects_sql('cor_sig')})
+),
+cor_kept AS (
+  SELECT corpus_id, band_key FROM (
+    SELECT corpus_id, band_key,
+           count(*) OVER (PARTITION BY band_key) AS n_key,
+           min(corpus_id) OVER (PARTITION BY band_key) AS anchor
+    FROM cor_bands
+  ) WHERE n_key <= {band_cap} OR corpus_id = anchor
+),
+cand AS (
+  SELECT DISTINCT i.doc_id, c.corpus_id
+  FROM inc_bands i JOIN cor_kept c USING (band_key)
+),
+inc_toks AS (SELECT doc_id, list_distinct({toks}) AS ta FROM inc),
+cor_toks AS (SELECT corpus_id, list_distinct({toks}) AS tb FROM corpus),
+verified AS (
+  SELECT cand.doc_id, min(cand.corpus_id) AS match_id
+  FROM cand
+  JOIN inc_toks USING (doc_id)
+  JOIN cor_toks USING (corpus_id)
+  WHERE {inter} * 100 >= (len(ta) + len(tb) - {inter}) * {verify_pct}
+  GROUP BY cand.doc_id
+)
+SELECT i.doc_id, v.match_id, v.match_id IS NULL AS keep
+FROM inc i LEFT JOIN verified v USING (doc_id)
+"""
+
+
+NEARDUP_INCREMENT_SQL = _neardup_increment_sql()
+
+
+def q_neardup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import h60
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(100))
+    return neardup_increment(
+        docs.filter(bucket >= 40), docs.filter(bucket < 60)
+    )
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -706,6 +873,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding_neardup": q_embedding_neardup,
     "dedup_increment": q_dedup_increment,
+    "dedup_neardup_increment": q_neardup_increment,
 }
 
 ORACLES = {
@@ -718,4 +886,5 @@ ORACLES = {
     "dedup_ngram_jaccard": NGRAM_SQL,
     "dedup_embedding_neardup": NEARDUP_SQL,
     "dedup_increment": DEDUP_INCREMENT_SQL,
+    "dedup_neardup_increment": NEARDUP_INCREMENT_SQL,
 }

@@ -88,6 +88,7 @@ QUERY_SET = [
     ("quality_fit_predict", regression.QUERIES["quality_fit_predict"]),
     ("temperature_sample", text_analysis.QUERIES["temperature_sample"]),
     ("dedup_increment", dedup.QUERIES["dedup_increment"]),
+    ("dedup_neardup_increment", dedup.QUERIES["dedup_neardup_increment"]),
     ("corpus_stats", corpus.QUERIES["corpus_stats"]),
 ]
 

@@ -305,3 +305,47 @@ def test_dedup_increment_corpus_precedence_over_increment(spark):
     )
     out = {r.doc_id: r.dup_source for r in dedup_increment(inc, corpus).collect()}
     assert out == {10: "corpus", 11: "corpus"}
+
+
+def test_neardup_increment_flags_near_and_exact(spark):
+    """An increment doc whose text differs by one token from a corpus doc
+    (Jaccard 10/11 > 0.8) is flagged; an unrelated doc and a NULL-text
+    doc are kept; match_id is the smallest matching corpus doc_id."""
+    from cpp_paddle_ocr_spark.operators.dedup import neardup_increment
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words here now")],
+        "doc_id bigint, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, base + " kilo"),        # near-dup of corpus 1 and 2
+            (11, base),                  # exact dup -> match_id = min(1, 2)
+            (12, "zulu yankee xray whiskey victor uniform tango sierra"),
+            (13, None),                  # no signature -> keep
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in neardup_increment(inc, corpus).collect()}
+    assert out[11].match_id == 1 and not out[11].keep
+    assert out[10].match_id == 1 and not out[10].keep
+    assert out[12].match_id is None and out[12].keep
+    assert out[13].match_id is None and out[13].keep
+    assert len(out) == 4
+
+
+def test_neardup_increment_overcap_anchor_degradation(spark):
+    """With band_cap=1 an identical-text corpus family keeps only its
+    anchor (min doc_id) per band key; the match still resolves, to the
+    anchor — the bounded-recall skew degradation, never a k x k join."""
+    from cpp_paddle_ocr_spark.operators.dedup import neardup_increment
+
+    fam = "same boilerplate template page body tokens one two three four"
+    corpus = spark.createDataFrame(
+        [(i, fam) for i in range(5, 25)], "doc_id bigint, text string"
+    )
+    inc = spark.createDataFrame([(100, fam)], "doc_id bigint, text string")
+    out = neardup_increment(inc, corpus, band_cap=1).collect()
+    assert len(out) == 1
+    assert out[0].match_id == 5 and not out[0].keep

@@ -215,3 +215,16 @@ def test_corpus_stats_single_scan(spark):
     assert "CartesianProduct" not in plan
     # the 1-row total is attached via a broadcast nested-loop, never a shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_neardup_increment_plan_shape(spark):
+    """Bipartite band-key join, never a corpus self-join: no cartesian,
+    the corpus-side over-cap filter is a Window, and the final per-doc
+    flag is a left join keyed on doc_id."""
+    from cpp_paddle_ocr_spark.operators import dedup
+
+    plan = plan_of(dedup.QUERIES["dedup_neardup_increment"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # inc: bands + tokens + final left-join ids; corpus: bands + tokens
+    assert plan.count("Scan parquet") == 5
