@@ -20,6 +20,9 @@ streaming-safe pieces into that pipeline:
                  → optional distilled-regressor gate (batch-FIT
                    ``regression.quality_fit`` coefficients applied as three
                    multiply-adds per row — see ``distill_model`` below)
+                 → optional corpus-index gate (stream-static LEFT ANTI
+                   join against the stored corpus's distinct fingerprints
+                   — the streaming analog of ``dedup.dedup_increment``)
                  → cross-batch exact dedup on the text fingerprint
                    (applyInPandasWithState, first-seen wins, optional TTL)
 
@@ -82,6 +85,7 @@ def curate_stream(
     lm_max_bits: float | None = None,
     distill_model: tuple | None = None,
     distill_max_bits: float | None = None,
+    corpus_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Pages stream → curated, fingerprint-deduplicated text stream.
 
@@ -123,6 +127,19 @@ def curate_stream(
     along for audit (NULL when no distilled model is configured). Both
     model gates follow the same lambda split: training batches, scoring
     streams.
+
+    ``corpus_fps`` is a STATIC DataFrame with an ``fp`` column — the
+    distinct md5 fingerprints of the already-stored corpus (e.g.
+    ``dedup.exact_dedup(corpus).select("fp")``). When given, arriving
+    rows whose fingerprint the corpus already holds are dropped by a
+    stream-static LEFT ANTI join BEFORE the first-seen state machine —
+    the streaming analog of ``dedup_increment``'s corpus side, while the
+    state machine remains the analog of its within-increment side. The
+    join is stateless (static side, no watermark), and corpus dups never
+    enter the dedup state store, so state stays bounded by what is
+    genuinely new. Refreshing the index (e.g. after each batch merge)
+    means restarting the query on the new snapshot — the static side is
+    plan-time, per Structured Streaming semantics.
     """
     from ..operators.governance import EMAIL_RE, IPV4_RE, PHONE_RE
     from .ingest import extract_stream
@@ -189,6 +206,10 @@ def curate_stream(
         )
         gated = gated.withColumn("text", redacted)
     gated = gated.withColumn("fp", F.md5(F.col("text")))
+    if corpus_fps is not None:
+        gated = gated.join(
+            corpus_fps.select("fp").distinct(), "fp", "left_anti"
+        )
     return first_seen_stream(
         gated,
         key_col="fp",

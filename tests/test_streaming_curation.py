@@ -444,3 +444,35 @@ def test_curate_stream_distilled_gate(spark, tmp_path):
         if round(py_pred(r.text), 6) <= cut
     }
     assert {r.fp for r in gated} == exp
+
+
+def test_curate_stream_corpus_index_gate(spark, tmp_path):
+    """The stream-static corpus-fingerprint anti-join: rows whose fp the
+    static corpus index already holds never reach the output; everything
+    else is exactly the no-index output."""
+    in_dir = str(tmp_path / "in")
+    generate_documents(spark, 40, oversize_max=2_000_000).write.parquet(in_dir)
+
+    def run(name, **kw):
+        s = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(in_dir)
+        out = curate_stream(s, lang="en", min_quality=0.3, **kw)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.sql(f"select * from {name}").collect()
+
+    plain = run("corpusgate_plain")
+    assert len(plain) >= 4, "need enough curated rows to split"
+    fps = sorted(r.fp for r in plain)
+    held = fps[: len(fps) // 2]  # pretend these are already stored
+    # duplicate rows in the index: .distinct() inside the gate must cope
+    corpus_fps = spark.createDataFrame(
+        [(f,) for f in held] + [(held[0],)], "fp string"
+    )
+    gated = run("corpusgate_on", corpus_fps=corpus_fps)
+    assert {r.fp for r in gated} == set(fps) - set(held)
