@@ -146,6 +146,7 @@ def main() -> None:
         ("decontaminate", governance.QUERIES["decontaminate"]),
         ("pack_chunks", governance.QUERIES["pack_chunks"]),
         ("pii_redact", governance.QUERIES["pii_redact"]),
+        ("url_canonical", governance.QUERIES["url_canonical"]),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),

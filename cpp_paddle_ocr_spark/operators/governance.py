@@ -398,6 +398,170 @@ FROM aug
 """
 
 
+# --- URL canonicalization ----------------------------------------------------
+#
+# The crawl-identity primitive upstream of every URL-keyed operator
+# (`revisit_latest`, domain budgets, frontier dedup): the same page is
+# fetched as HTTP://WWW.Host:80/a/?utm_source=x#frag and as
+# http://host/a?... — one canonical form or every URL-keyed count is split
+# across spellings.
+
+#: query parameters that identify a CAMPAIGN, not a resource
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
+
+
+def canonical_url_col(url) -> Column:
+    """Canonical form of an absolute URL as a pure JVM expression:
+    lower-cased scheme/host, userinfo and fragment stripped, ``www.``
+    prefix and scheme-default ports (http:80, https:443) removed,
+    trailing path slashes collapsed to ``/`` (empty path → ``/``),
+    tracking query params (``utm_*``, ``gclid``, ``fbclid``) dropped and
+    the survivors byte-order sorted. NULL for NULL input or a string
+    without a ``scheme://`` prefix (not an absolute URL — garbage is
+    surfaced as NULL, never half-canonicalized).
+
+    Scale shape: stateless per-row regex/array expressions — scan-bound,
+    no shuffle, whole-stage-codegen eligible like ``pii_scan_redact``."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    hostport = F.regexp_replace(auth, r"^.*@", "")
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port_part = F.when(
+        (port == F.lit(""))
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qjoined = F.array_join(F.array_sort(kept), "&")
+    qpart = F.when(qjoined == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), qjoined)
+    )
+    return F.when(
+        u.isNull() | (scheme == ""), F.lit(None).cast("string")
+    ).otherwise(F.concat(scheme, F.lit("://"), host, port_part, path, qpart))
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach ``canonical_url`` to every row (see ``canonical_url_col``)."""
+    return df.withColumn("canonical_url", canonical_url_col(url_col))
+
+
+def _canon_sql(u: str) -> str:
+    """The same canonicalization as DuckDB SQL over expression ``u``."""
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    rest = (
+        f"regexp_replace(regexp_replace({u}, "
+        f"'^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '#.*$', '')"
+    )
+    auth = f"lower(regexp_extract({rest}, '^([^/?]*)', 1))"
+    pathq = f"regexp_replace({rest}, '^[^/?]*', '')"
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    query = f"regexp_extract({pathq}, '\\?(.*)$', 1)"
+    hostport = f"regexp_replace({auth}, '^.*@', '')"
+    host = (
+        f"regexp_replace(regexp_replace({hostport}, ':[0-9]+$', ''), "
+        f"'^www\\.', '')"
+    )
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    port_part = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    spath = f"regexp_replace({path}, '/+$', '')"
+    npath = f"CASE WHEN {spath} = '' THEN '/' ELSE {spath} END"
+    kept = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))"
+    )
+    # array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+    qjoined = f"coalesce(array_to_string(list_sort({kept}), '&'), '')"
+    qpart = f"CASE WHEN {qjoined} = '' THEN '' ELSE '?' || {qjoined} END"
+    return (
+        f"CASE WHEN {u} IS NULL OR {scheme} = '' THEN NULL "
+        f"ELSE {scheme} || '://' || {host} || {port_part} || {npath} || {qpart} "
+        f"END"
+    )
+
+
+def _messy_url_col() -> Column:
+    """Deterministic messy-URL synthesis from doc_id (the driver tables
+    carry no URL column — same disclosed convention as
+    ``relational.revisit_latest``): varies scheme case, www prefix, host
+    case, default/explicit/non-default ports, trailing slash, tracking +
+    unordered query params, and fragments, so the driver query exercises
+    every canonicalization rule."""
+    d = F.col("doc_id")
+    num = lambda m: F.pmod(d, F.lit(m)).cast("string")  # noqa: E731
+    return F.concat(
+        F.when(F.pmod(d, F.lit(3)) == 0, F.lit("HTTP"))
+        .when(F.pmod(d, F.lit(3)) == 1, F.lit("https"))
+        .otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(F.pmod(d, F.lit(2)) == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site-"),
+        num(50),
+        F.lit(".Example.COM"),
+        F.when(F.pmod(d, F.lit(4)) == 0, F.lit(":80"))
+        .when(F.pmod(d, F.lit(4)) == 1, F.lit(":443"))
+        .when(F.pmod(d, F.lit(4)) == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/path/"),
+        num(100),
+        F.when(F.pmod(d, F.lit(5)) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.pmod(d, F.lit(2)) == 0,
+            F.concat(F.lit("?utm_source=feed&b=2&a="), num(7)),
+        ).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(6)) == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+_MESSY_URL_SQL = """
+CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 THEN 'https'
+     ELSE 'http' END
+|| '://'
+|| CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+|| 'Site-' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+|| CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+        WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END
+|| '/path/' || CAST(doc_id % 100 AS VARCHAR)
+|| CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+|| CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a='
+             || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+|| CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END
+"""
+
+URL_CANONICAL_SQL = f"""
+WITH urls AS (
+  SELECT doc_id, ({_MESSY_URL_SQL}) AS url FROM documents
+)
+SELECT doc_id, url, {_canon_sql('url')} AS canonical_url FROM urls
+"""
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url_col().alias("url")
+    )
+    return url_canonicalize(docs).select("doc_id", "url", "canonical_url")
+
+
 # --- driver wiring -----------------------------------------------------------
 
 
@@ -428,6 +592,7 @@ ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
     "pack_chunks": PACK_SQL,
     "pii_redact": PII_REDACT_SQL,
+    "url_canonical": URL_CANONICAL_SQL,
 }
 
 QUERIES = {
@@ -436,4 +601,5 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_chunks": q_pack_chunks,
     "pii_redact": q_pii_redact,
+    "url_canonical": q_url_canonical,
 }

@@ -83,6 +83,7 @@ QUERY_SET = [
     ("decontaminate", governance.QUERIES["decontaminate"]),
     ("pack_chunks", governance.QUERIES["pack_chunks"]),
     ("pii_redact", governance.QUERIES["pii_redact"]),
+    ("url_canonical", governance.QUERIES["url_canonical"]),
     ("revisit_latest", relational.QUERIES["revisit_latest"]),
     ("quality_fit", regression.QUERIES["quality_fit"]),
     ("quality_fit_predict", regression.QUERIES["quality_fit_predict"]),

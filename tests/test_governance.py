@@ -256,3 +256,47 @@ def test_corpus_stats_report_card(spark):
     s2 = out[("s2", "de")]
     assert s2.n_docs == 1 and s2.n_null_text == 0 and s2.n_tokens == 1
     assert abs(sum(r.doc_share for r in out.values()) - 1.0) < 1e-6
+
+
+def test_canonical_url_hand_examples(spark):
+    """Every canonicalization rule on explicit expected strings: case,
+    www, userinfo, default vs non-default ports, trailing slash, empty
+    path, tracking params, param sorting, fragments, NULL and garbage."""
+    from cpp_paddle_ocr_spark.operators.governance import url_canonicalize
+
+    cases = [
+        (
+            "HTTP://user:pw@WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+            "http://example.com/a/b?a=1&b=2",
+        ),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        ("http://Example.com:8080/X/", "http://example.com:8080/X"),
+        ("http://a.com/p?gclid=1&fbclid=2&utm_medium=m", "http://a.com/p"),
+        ("http://a.com/p?z=1&y=2&z=0", "http://a.com/p?y=2&z=0&z=1"),
+        ("not a url at all", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {r.i: r.canonical_url for r in url_canonicalize(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_canonical_url_unifies_spellings(spark):
+    """Distinct spellings of one resource collapse to one canonical key —
+    the property URL-keyed dedup/budget operators rely on."""
+    from cpp_paddle_ocr_spark.operators.governance import url_canonicalize
+
+    spellings = [
+        "http://www.site.org/page",
+        "HTTP://SITE.org:80/page/",
+        "http://site.org/page?utm_campaign=c",
+        "http://site.org/page#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in spellings], "url string")
+    canon = {r.canonical_url for r in url_canonicalize(df).collect()}
+    assert canon == {"http://site.org/page"}

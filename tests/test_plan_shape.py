@@ -228,3 +228,13 @@ def test_neardup_increment_plan_shape(spark):
     assert "Window" in plan
     # inc: bands + tokens + final left-join ids; corpus: bands + tokens
     assert plan.count("Scan parquet") == 5
+
+
+def test_url_canonical_stateless_projection(spark):
+    """Canonicalization is a pure per-row projection: one scan, no
+    exchange/shuffle anywhere in the plan."""
+    from cpp_paddle_ocr_spark.operators import governance
+
+    plan = plan_of(governance.QUERIES["url_canonical"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
