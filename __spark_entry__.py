@@ -20,6 +20,7 @@ from cpp_paddle_ocr_spark.operators import (
     corpus,
     dedup,
     governance,
+    graph,
     layout,
     quantize,
     regression,
@@ -189,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(corpus.QUERIES)
     q.update(quantize.QUERIES)
     q.update(governance.QUERIES)
+    q.update(graph.QUERIES)
     q.update(regression.QUERIES)
     # extraction cascade (fused + staged): full-oracle via the committed
     # golden TSV — the fixture rows are a prefix of the golden set
@@ -214,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(corpus.ORACLES)
     o.update(quantize.ORACLES)
     o.update(governance.ORACLES)
+    o.update(graph.ORACLES)
     o.update(regression.ORACLES)
     o["extract_golden_parity"] = _EXTRACT_GOLDEN_SQL
     o["multimodal_meta"] = _MEDIA_META_SQL

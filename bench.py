@@ -32,6 +32,7 @@ from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     corpus,
     dedup,
     governance,
+    graph,
     layout,
     quantize,
     regression,
@@ -147,6 +148,7 @@ def main() -> None:
         ("pack_chunks", governance.QUERIES["pack_chunks"]),
         ("pii_redact", governance.QUERIES["pii_redact"]),
         ("url_canonical", governance.QUERIES["url_canonical"]),
+        ("graph_pagerank", graph.QUERIES["graph_pagerank"]),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),

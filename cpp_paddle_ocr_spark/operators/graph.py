@@ -1,0 +1,161 @@
+"""Link-graph operators: crawl prioritization over the web graph.
+
+A production crawler ranks its frontier by link authority — PageRank over
+the host/page graph is the classic signal (alongside ``revisit_latest``'s
+change-rate signal). This module implements a DETERMINISTIC integer
+PageRank: ranks live in micro-units (``PR_SCALE``), the damping step is an
+exact BIGINT division, and per-node contribution sums are integer adds —
+order-independent, so Spark's arbitrary aggregation order and the DuckDB
+oracle agree bit-for-bit with no float rounding contract (the same
+discipline as ``clustering.verified_pairs``'s cross-multiplied Jaccard).
+
+Scale shape (100 TB / 10^10-node graph): each iteration is ONE shuffle —
+edges (pre-joined once with out-degrees and eagerly checkpointed) join the
+current rank vector on src, then hash-aggregate contributions by dst; the
+rank vector is per-iteration localCheckpointed like the connected-
+components rounds (lineage truncation + Catalyst's missing cross-branch
+reuse, CLAUDE.md #13). Dangling-node mass leaks (the standard simplified
+formulation) — ranks are a relative priority signal, not a probability.
+
+Reference parity note: the reference engine has no graph stage; this is a
+beyond-reference operator of the crawl-pipeline family (`revisit_latest`,
+`domain_cap`, `url_canonicalize`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import h60, h60_sql, load
+
+#: rank micro-units: node ranks are integers scaled by PR_SCALE
+PR_SCALE = 1_000_000
+#: damping factor as an integer percentage (0.85)
+PR_DAMP_PCT = 85
+#: fixed iteration count — the oracle unrolls exactly this many rounds
+PR_ITERS = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer PageRank over an edge list: ``(node, rank)`` after
+    ``iters`` rounds, rank in ``PR_SCALE`` micro-units (BIGINT).
+
+    Update rule (all-BIGINT, order-independent):
+    ``rank'(n) = (100-d)·SCALE div 100 + Σ_{v→n} (d·rank(v)) div (100·outdeg(v))``
+    with d = ``PR_DAMP_PCT``. Callers pass a deduplicated, self-loop-free
+    edge list; dangling mass leaks (disclosed above). Initial rank is
+    ``PR_SCALE`` for every node that appears as a src or dst."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # one reusable (src, dst, deg) frame: re-scanned every iteration, so
+    # checkpoint it eagerly once (Catalyst has no cross-branch reuse)
+    weighted = e.join(outdeg, "src").localCheckpoint(eager=True)
+    base = (100 - PR_DAMP_PCT) * PR_SCALE // 100
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .select(
+                "dst",
+                F.expr(f"({PR_DAMP_PCT} * rank) div (100 * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def _pagerank_sql(edges_sql: str, iters: int = PR_ITERS) -> str:
+    """K unrolled aggregation rounds as chained CTEs (a recursive CTE
+    cannot aggregate in its recursive term, so the fixed iteration count
+    is unrolled — same determinism the Spark loop has)."""
+    base = (100 - PR_DAMP_PCT) * PR_SCALE // 100
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({base} + coalesce(s.s, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, CAST(sum(({PR_DAMP_PCT} * r.rank) // (100 * e.deg))
+                  AS BIGINT) AS s
+    FROM weighted e JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = n.node
+)"""
+        )
+    chained = ",\n".join(rounds)
+    return f"""
+WITH edges AS ({edges_sql}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+weighted AS (SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o USING (src)),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes),
+{chained}
+SELECT node, rank FROM r{iters}
+"""
+
+
+# --- driver query --------------------------------------------------------
+#
+# The driver tables carry no link column (same disclosed convention as
+# ``relational.revisit_latest``), so the crawl graph is synthesized
+# deterministically from the fetch log: src = the fetching user's page id,
+# dst = a hub page per event_type for even event_ids (5 event types → 5
+# high-in-degree hubs, the authority skew PageRank exists to measure) and
+# a near-uniform page otherwise. Self-loops dropped, edges deduplicated.
+
+_EDGES_SQL = f"""
+SELECT DISTINCT user_id AS src,
+       CASE WHEN event_id % 2 = 0
+            THEN {h60_sql('event_type')} % 1000
+            ELSE event_id % 997 END AS dst
+FROM events
+WHERE user_id <> (CASE WHEN event_id % 2 = 0
+                       THEN {h60_sql('event_type')} % 1000
+                       ELSE event_id % 997 END)
+"""
+
+PAGERANK_SQL = _pagerank_sql(_EDGES_SQL)
+
+
+def crawl_edges(events: DataFrame) -> DataFrame:
+    """The synthesized crawl graph described above, as a DataFrame."""
+    dst = F.when(
+        F.pmod(F.col("event_id"), F.lit(2)) == 0,
+        F.pmod(h60(F.col("event_type")), F.lit(1000)),
+    ).otherwise(F.pmod(F.col("event_id"), F.lit(997)))
+    return (
+        events.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(crawl_edges(load(spark, sf_dir, "events")))
+
+
+QUERIES = {"graph_pagerank": q_pagerank}
+ORACLES = {"graph_pagerank": PAGERANK_SQL}

@@ -36,6 +36,7 @@ from cpp_paddle_ocr_spark.operators import (  # noqa: E402
     corpus,
     dedup,
     governance,
+    graph,
     quantize,
     regression,
     relational,
@@ -84,6 +85,7 @@ QUERY_SET = [
     ("pack_chunks", governance.QUERIES["pack_chunks"]),
     ("pii_redact", governance.QUERIES["pii_redact"]),
     ("url_canonical", governance.QUERIES["url_canonical"]),
+    ("graph_pagerank", graph.QUERIES["graph_pagerank"]),
     ("revisit_latest", relational.QUERIES["revisit_latest"]),
     ("quality_fit", regression.QUERIES["quality_fit"]),
     ("quality_fit_predict", regression.QUERIES["quality_fit_predict"]),
