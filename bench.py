@@ -149,6 +149,7 @@ def main() -> None:
         ("pii_redact", governance.QUERIES["pii_redact"]),
         ("url_canonical", governance.QUERIES["url_canonical"]),
         ("graph_pagerank", graph.QUERIES["graph_pagerank"]),
+        ("crawl_schedule", graph.QUERIES["crawl_schedule"]),
         ("lang_id", text_analysis.QUERIES["lang_id"]),
         ("quality_score", text_analysis.QUERIES["quality_score"]),
         ("token_count", text_analysis.QUERIES["token_count"]),

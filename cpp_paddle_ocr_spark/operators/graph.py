@@ -157,5 +157,83 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(crawl_edges(load(spark, sf_dir, "events")))
 
 
-QUERIES = {"graph_pagerank": q_pagerank}
-ORACLES = {"graph_pagerank": PAGERANK_SQL}
+# --- crawl scheduling (capstone composition) ------------------------------
+
+#: rank of a page with no inbound links after round 1 — the floor a URL
+#: absent from the graph is scheduled at
+PR_BASE = (100 - PR_DAMP_PCT) * PR_SCALE // 100
+
+
+def crawl_schedule(events: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """The crawl-side capstone: what should the crawler fetch next?
+    Composes the two scheduler signals this engine computes —
+    ``relational.revisit_latest``'s content-churn accounting (how often a
+    page CHANGES) and ``pagerank``'s link authority (how much a page
+    MATTERS) — into one integer priority per URL:
+    ``priority = rank · (1 + n_changes)``, all BIGINT (bit-exact
+    cross-engine, like both constituents). Output: ``(url_key, rank,
+    n_fetches, n_changes, priority)``; URLs whose host never entered the
+    link graph schedule at the unlinked-page floor ``PR_BASE``.
+
+    Scale shape: revisit is ONE shuffle on url_key; pagerank is one
+    shuffle per iteration over the checkpointed edge frame; the final
+    join keys the per-URL frame on an 8-byte host id against the (much
+    smaller) per-node rank vector. Nothing rescans events beyond the two
+    constituent scans."""
+    from .relational import revisit_latest
+
+    rev = revisit_latest(events).select(
+        "url_key",
+        "n_fetches",
+        "n_changes",
+        F.split(F.col("url_key"), ":").getItem(0).cast("long").alias("host"),
+    )
+    pr = pagerank(crawl_edges(events), iters)
+    rank = F.coalesce(F.col("rank"), F.lit(PR_BASE))
+    return (
+        rev.join(pr, rev.host == pr.node, "left")
+        .select(
+            "url_key",
+            rank.alias("rank"),
+            "n_fetches",
+            "n_changes",
+            (rank * (F.lit(1) + F.col("n_changes")))
+            .cast("long")
+            .alias("priority"),
+        )
+    )
+
+
+def _crawl_schedule_sql() -> str:
+    from .relational import REVISIT_SQL
+
+    return f"""
+WITH rev AS (SELECT * FROM ({REVISIT_SQL})),
+pr AS (SELECT * FROM ({PAGERANK_SQL}))
+SELECT r.url_key,
+       coalesce(p.rank, {PR_BASE}) AS rank,
+       r.n_fetches,
+       r.n_changes,
+       CAST(coalesce(p.rank, {PR_BASE}) * (1 + r.n_changes) AS BIGINT)
+         AS priority
+FROM rev r
+LEFT JOIN pr p
+  ON p.node = CAST(string_split(r.url_key, ':')[1] AS BIGINT)
+"""
+
+
+CRAWL_SCHEDULE_SQL = _crawl_schedule_sql()
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return crawl_schedule(load(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "graph_pagerank": q_pagerank,
+    "crawl_schedule": q_crawl_schedule,
+}
+ORACLES = {
+    "graph_pagerank": PAGERANK_SQL,
+    "crawl_schedule": CRAWL_SCHEDULE_SQL,
+}

@@ -86,6 +86,7 @@ QUERY_SET = [
     ("pii_redact", governance.QUERIES["pii_redact"]),
     ("url_canonical", governance.QUERIES["url_canonical"]),
     ("graph_pagerank", graph.QUERIES["graph_pagerank"]),
+    ("crawl_schedule", graph.QUERIES["crawl_schedule"]),
     ("revisit_latest", relational.QUERIES["revisit_latest"]),
     ("quality_fit", regression.QUERIES["quality_fit"]),
     ("quality_fit_predict", regression.QUERIES["quality_fit_predict"]),

