@@ -420,6 +420,11 @@ def canonical_url_col(url) -> Column:
     without a ``scheme://`` prefix (not an absolute URL — garbage is
     surfaced as NULL, never half-canonicalized).
 
+    Scope: syntactic normalization only — percent-encoding is left as-is
+    (decoding can change which bytes are reserved) and bracketed IPv6
+    hosts are out of scope (the ``:port`` split assumes a colon-free
+    hostname, which holds for DNS names and IPv4).
+
     Scale shape: stateless per-row regex/array expressions — scan-bound,
     no shuffle, whole-stage-codegen eligible like ``pii_scan_redact``."""
     u = F.col(url) if isinstance(url, str) else url

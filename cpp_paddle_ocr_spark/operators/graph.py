@@ -50,7 +50,13 @@ def pagerank(
     with d = ``PR_DAMP_PCT``. Callers pass a deduplicated, self-loop-free
     edge list; dangling mass leaks (disclosed above). Initial rank is
     ``PR_SCALE`` for every node that appears as a src or dst."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge list FIRST: nodes, outdeg and weighted all
+    # derive from it, and Catalyst has no cross-branch reuse — without
+    # this one checkpoint the caller's source table is re-scanned once
+    # per derived frame at plan time (CLAUDE.md #13)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -58,8 +64,7 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # one reusable (src, dst, deg) frame: re-scanned every iteration, so
-    # checkpoint it eagerly once (Catalyst has no cross-branch reuse)
+    # one reusable (src, dst, deg) frame: re-read every iteration
     weighted = e.join(outdeg, "src").localCheckpoint(eager=True)
     base = (100 - PR_DAMP_PCT) * PR_SCALE // 100
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
