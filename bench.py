@@ -159,14 +159,35 @@ def main() -> None:
         ("revisit_latest", relational.QUERIES["revisit_latest"]),
         ("quality_fit", regression.QUERIES["quality_fit"]),
         ("quality_fit_predict", regression.QUERIES["quality_fit_predict"]),
+        # remaining oracle entries, benched for per-entry completeness:
+        # generic relational shapes, the capped pairwise baselines, the
+        # mixture weight sub-frame and the LM gate form
+        ("broadcast_join_agg", relational.QUERIES["broadcast_join_agg"]),
+        ("doc_order_sort", relational.QUERIES["doc_order_sort"]),
+        ("threshold_filter", relational.QUERIES["threshold_filter"]),
+        ("topk_per_group", relational.QUERIES["topk_per_group"]),
+        ("window_dedup", relational.QUERIES["window_dedup"]),
+        ("dedup_ngram_jaccard", dedup.QUERIES["dedup_ngram_jaccard"]),
+        ("dedup_embedding_neardup", dedup.QUERIES["dedup_embedding_neardup"]),
+        ("mix_weights", text_analysis.QUERIES["mix_weights"]),
+        ("lm_filter", text_analysis.QUERIES["lm_filter"]),
     ]
-    # remaining driver query families (round-4 verdict bench-coverage nit):
-    # the staged-cascade variant and the media header decode run over their
-    # own fixed-size fixture generators, same as their driver entries
-    from __spark_entry__ import _q_extract_staged, _q_multimodal_meta
+    # remaining driver query families (round-4 verdict bench-coverage nit).
+    # The staged-cascade leg reads a CACHED parquet fixture: the driver
+    # entry regenerates its 240 pages in-plan (fine for a correctness
+    # oracle), but here that synthesis would dominate the measured wall
+    # (~6-15 s of page building vs the operator itself) and mislabel the
+    # staged form. multimodal_meta's 60-row media synthesis is negligible.
+    from cpp_paddle_ocr_spark.operators.staged import extract_staged
+    from __spark_entry__ import _N_EXTRACT, _q_multimodal_meta
+
+    staged_fixture = ensure_fixture(spark, _N_EXTRACT)
 
     others += [
-        ("extract_pages_staged", _q_extract_staged),
+        (
+            "extract_pages_staged",
+            lambda s, d: extract_staged(s.read.parquet(staged_fixture)),
+        ),
         ("multimodal_meta", _q_multimodal_meta),
     ]
     for name, fn in others:
@@ -197,6 +218,7 @@ def main() -> None:
     for name, op in [
         ("layout_regions", layout.detect_regions),
         ("layout_tables", layout.extract_tables),
+        ("layout_table_cells", layout.extract_table_cells),
         # composed flagship: cascade + tables + regions in ONE scan/pass
         ("extract_with_layout", layout.extract_with_layout),
     ]:
