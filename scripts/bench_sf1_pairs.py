@@ -94,6 +94,17 @@ QUERY_SET = [
     ("dedup_increment", dedup.QUERIES["dedup_increment"]),
     ("dedup_neardup_increment", dedup.QUERIES["dedup_neardup_increment"]),
     ("corpus_stats", corpus.QUERIES["corpus_stats"]),
+    # sf-dependent remainder of the bench surface (the fixed-fixture legs —
+    # staged extract, media meta, layout — have no input decade to measure)
+    ("broadcast_join_agg", relational.QUERIES["broadcast_join_agg"]),
+    ("doc_order_sort", relational.QUERIES["doc_order_sort"]),
+    ("threshold_filter", relational.QUERIES["threshold_filter"]),
+    ("topk_per_group", relational.QUERIES["topk_per_group"]),
+    ("window_dedup", relational.QUERIES["window_dedup"]),
+    ("dedup_ngram_jaccard", dedup.QUERIES["dedup_ngram_jaccard"]),
+    ("dedup_embedding_neardup", dedup.QUERIES["dedup_embedding_neardup"]),
+    ("mix_weights", text_analysis.QUERIES["mix_weights"]),
+    ("lm_filter", text_analysis.QUERIES["lm_filter"]),
 ]
 
 N_PAIRS = 3
@@ -137,7 +148,7 @@ def main() -> None:
     # must be repaired, not trusted 45 minutes into the measurement loop
     if not all(
         pathlib.Path(SF_BIG, f"{t}.parquet", "_SUCCESS").exists()
-        for t in ("documents", "embeddings", "events")
+        for t in ("documents", "embeddings", "events", "orders", "customer", "nation")
     ):
         import gen_sf1
 

@@ -23,9 +23,13 @@ is transformed so that:
   (copy 0 unchanged, so query_vec_id=0 still exists).
 * events — event_id/user_id shifted per copy: group count x10, per-group
   size distribution unchanged, so window/IoU work scales linearly.
+* orders/customer — fact and customer keys shifted per copy (the
+  o_custkey shift matches the customer shift, so join selectivity per
+  order is unchanged); nation stays the FIXED 25-row dimension — at
+  scale, facts grow and broadcast dimensions do not.
 
 Usage:  python scripts/gen_sf1.py  [copies=10]
-Writes: .benchdata/sf1/{documents,embeddings,events}.parquet
+Writes: .benchdata/sf1/{documents,embeddings,events,orders,customer,nation}.parquet
 """
 
 from __future__ import annotations
@@ -117,6 +121,45 @@ def scale_events(spark, copies: int) -> DataFrame:
     return out
 
 
+def scale_orders(spark, copies: int) -> DataFrame:
+    base = spark.read.parquet(f"{SRC}/orders.parquet")
+    parts = [base]
+    for k in range(1, copies):
+        parts.append(
+            base.select(
+                (F.col("o_orderkey") + F.lit(k * ID_STRIDE)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(k * ID_STRIDE)).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scale_customer(spark, copies: int) -> DataFrame:
+    base = spark.read.parquet(f"{SRC}/customer.parquet")
+    parts = [base]
+    for k in range(1, copies):
+        parts.append(
+            base.select(
+                (F.col("c_custkey") + F.lit(k * ID_STRIDE)).alias("c_custkey"),
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def generate_sf1(spark, copies: int = 10) -> None:
     """Write the sf1 tables under .benchdata/sf1 using an existing
     session (also called from bench_sf1_pairs when the dir is absent)."""
@@ -130,6 +173,16 @@ def generate_sf1(spark, copies: int = 10) -> None:
     scale_events(spark, copies).repartition(32).write.mode("overwrite").parquet(
         str(DST / "events.parquet")
     )
+    scale_orders(spark, copies).repartition(8).write.mode("overwrite").parquet(
+        str(DST / "orders.parquet")
+    )
+    scale_customer(spark, copies).repartition(8).write.mode("overwrite").parquet(
+        str(DST / "customer.parquet")
+    )
+    # fixed broadcast dimension: copied, not scaled
+    spark.read.parquet(f"{SRC}/nation.parquet").write.mode("overwrite").parquet(
+        str(DST / "nation.parquet")
+    )
 
 
 def main() -> None:
@@ -137,7 +190,7 @@ def main() -> None:
     spark = get_spark(app_name="gen_sf1")
     spark.sparkContext.setLogLevel("ERROR")
     generate_sf1(spark, copies)
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "orders", "customer", "nation"):
         n = spark.read.parquet(str(DST / f"{t}.parquet")).count()
         print(t, n)
     spark.stop()
