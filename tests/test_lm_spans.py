@@ -349,3 +349,76 @@ def test_neardup_increment_overcap_anchor_degradation(spark):
     out = neardup_increment(inc, corpus, band_cap=1).collect()
     assert len(out) == 1
     assert out[0].match_id == 5 and not out[0].keep
+
+
+def test_neardup_increment_bruteforce_recall_and_precision(spark):
+    """Randomized (seeded) cross-check against brute-force token-Jaccard:
+    every reported match must be a true >= 0.8 pair (precision 1.0 by the
+    verify stage's construction), and LSH band recall over planted
+    near-dups must clear the analytic floor (miss-all-4-bands at s=0.85
+    is ~1.3%, so 15 plants virtually never lose more than 2)."""
+    import random
+
+    from cpp_paddle_ocr_spark.operators.dedup import (
+        NEARDUP_VERIFY_PCT,
+        neardup_increment,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def doc():
+        return " ".join(rng.sample(vocab, 12))
+
+    corpus_rows = [(i, doc()) for i in range(60)]
+    inc_rows = []
+    planted = set()
+    for j in range(40):
+        did = 1000 + j
+        if j < 15:  # near-copy of corpus doc j: replace one token
+            toks = corpus_rows[j][1].split()
+            toks[rng.randrange(12)] = f"x{j}"
+            inc_rows.append((did, " ".join(toks)))
+            planted.add(did)
+        else:
+            inc_rows.append((did, doc()))
+
+    def jac(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        return len(sa & sb) * 100 >= len(sa | sb) * NEARDUP_VERIFY_PCT
+
+    true_matched = {
+        did
+        for did, t in inc_rows
+        if any(jac(t, ct) for _, ct in corpus_rows)
+    }
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    inc = spark.createDataFrame(inc_rows, "doc_id bigint, text string")
+    flagged = {
+        r.doc_id for r in neardup_increment(inc, corpus).collect() if not r.keep
+    }
+    assert flagged <= true_matched  # precision 1.0: verify stage is exact
+    recall = len(flagged & true_matched) / len(true_matched)
+    assert recall >= 0.8, (recall, len(true_matched))
+
+
+def test_exact_corpus_dup_implies_neardup_flag(spark):
+    """On the sf0.001 driver split (no over-cap band keys at this scale):
+    every increment row dedup_increment flags as a 'corpus' EXACT dup must
+    also be flagged by neardup_increment — identical text means identical
+    signature, identical band keys, and Jaccard 1."""
+    from cpp_paddle_ocr_spark.operators import dedup
+
+    SF = "/root/testdata/sf0.001"
+    exact = {
+        r.doc_id
+        for r in dedup.QUERIES["dedup_increment"](spark, SF).collect()
+        if r.dup_source == "corpus"
+    }
+    assert exact, "driver split must overlap"
+    near = {
+        r.doc_id
+        for r in dedup.QUERIES["dedup_neardup_increment"](spark, SF).collect()
+        if not r.keep
+    }
+    assert exact <= near
