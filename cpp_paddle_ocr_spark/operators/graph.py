@@ -34,6 +34,9 @@ PR_SCALE = 1_000_000
 PR_DAMP_PCT = 85
 #: fixed iteration count — the oracle unrolls exactly this many rounds
 PR_ITERS = 5
+#: rank of a page with no inbound links after round 1 — the floor a URL
+#: absent from the graph is scheduled at
+PR_BASE = (100 - PR_DAMP_PCT) * PR_SCALE // 100
 
 
 def pagerank(
@@ -66,7 +69,6 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # one reusable (src, dst, deg) frame: re-read every iteration
     weighted = e.join(outdeg, "src").localCheckpoint(eager=True)
-    base = (100 - PR_DAMP_PCT) * PR_SCALE // 100
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
     for _ in range(iters):
         contrib = (
@@ -82,7 +84,7 @@ def pagerank(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
-                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                (F.lit(PR_BASE) + F.coalesce(F.col("s"), F.lit(0)))
                 .cast("long")
                 .alias("rank"),
             )
@@ -95,13 +97,12 @@ def _pagerank_sql(edges_sql: str, iters: int = PR_ITERS) -> str:
     """K unrolled aggregation rounds as chained CTEs (a recursive CTE
     cannot aggregate in its recursive term, so the fixed iteration count
     is unrolled — same determinism the Spark loop has)."""
-    base = (100 - PR_DAMP_PCT) * PR_SCALE // 100
     rounds = []
     for i in range(1, iters + 1):
         rounds.append(
             f"""r{i} AS (
   SELECT n.node,
-         CAST({base} + coalesce(s.s, 0) AS BIGINT) AS rank
+         CAST({PR_BASE} + coalesce(s.s, 0) AS BIGINT) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst, CAST(sum(({PR_DAMP_PCT} * r.rank) // (100 * e.deg))
                   AS BIGINT) AS s
@@ -163,11 +164,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- crawl scheduling (capstone composition) ------------------------------
-
-#: rank of a page with no inbound links after round 1 — the floor a URL
-#: absent from the graph is scheduled at
-PR_BASE = (100 - PR_DAMP_PCT) * PR_SCALE // 100
-
 
 def crawl_schedule(events: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """The crawl-side capstone: what should the crawler fetch next?
