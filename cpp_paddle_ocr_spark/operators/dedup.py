@@ -97,7 +97,15 @@ _MINHASH_AB = [(131 + 2 * i, 977 * i + 1) for i in range(MINHASH_PERMS)]
 
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
-    """k-permutation MinHash signature per document (distinct tokens)."""
+    """k-permutation MinHash signature per document (distinct tokens).
+
+    Deliberately the explode → groupBy(doc_id) aggregate form, NOT a
+    zero-shuffle ``array_min(transform(...))`` projection: the A/B
+    (BENCH/BASELINE.md #18) measured the higher-order-function form ~2.9×
+    slower on identical output — HOF lambdas are evaluated outside
+    whole-stage codegen, while this form streams tokens through codegen'd
+    partial aggregation and shuffles only one signature row per
+    document."""
     toks = df.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
