@@ -1,22 +1,26 @@
 """engine.zip staleness guard (BENCH/BASELINE.md gotcha #8): local-cluster
 scaling legs import the engine from the zip, so a stale or incomplete zip
-silently benchmarks an old kernel. If the artifact exists, every package
-module must be present AND byte-identical to the working tree."""
+silently benchmarks an old kernel. The guard is SELF-HEALING: it rebuilds
+the artifact via scripts/make_pyfiles.sh (deterministic, <1 s) and then
+asserts byte-identity with the working tree — after the suite runs, the
+committed recipe is proven to produce a current zip."""
 
 from __future__ import annotations
 
 import pathlib
+import subprocess
 import zipfile
-
-import pytest
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 ZIP = ROOT / "engine.zip"
 
 
-def test_engine_zip_matches_source_tree():
-    if not ZIP.exists():
-        pytest.skip("engine.zip not built (scripts/make_pyfiles.sh)")
+def test_engine_zip_rebuild_matches_source_tree():
+    subprocess.run(
+        ["sh", str(ROOT / "scripts" / "make_pyfiles.sh")],
+        check=True,
+        capture_output=True,
+    )
     with zipfile.ZipFile(ZIP) as z:
         zipped = {n: z.read(n) for n in z.namelist() if n.endswith(".py")}
     tree = {
