@@ -24,8 +24,50 @@ TABLES = (
 )
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True
+) -> DataFrame:
+    """Read a driver table, with a file-granularity parallelism floor.
+
+    Guide §2.5 ("input skew: one huge unsplittable file … repartition
+    immediately after the read"): a table laid out as fewer splittable
+    pieces than the cluster has cores scans as that many tasks, and every
+    downstream per-row computation (explodes, per-window hashing, regex)
+    inherits that ceiling until the first exchange. The driver's sf tables
+    are ONE parquet file with ONE row group each, so at sf1.0 every
+    scan-shaped query ran its compute on 1-2 of 32 cores (measured 17×:
+    ``fingerprint`` 26.3 s → 1.5 s from this one exchange, round 6).
+
+    Scale-adaptive by construction: the rebalance fires only when the scan
+    yields fewer partitions than ``defaultParallelism``, which — because
+    FilePartition packing caps each split at
+    ``spark.sql.files.maxPartitionBytes`` — implies the whole table is
+    under ``cores × maxPartitionBytes`` (≈4 GB here): a provably cheap
+    round-robin exchange. Production-scale layouts (files ≥ cores) never
+    hit the condition and pay nothing. Deterministic: round-robin
+    repartition sorts before assigning (SPARK-23207 default), and no
+    declared query's result depends on partitioning.
+
+    Callers whose output depends on float SUMMATION ORDER at a rounding
+    boundary pass ``rebalance=False``: averaging values that are
+    themselves 6-dp-rounded (``corpus_stats.avg_quality``) frequently
+    produces means landing EXACTLY on the HALF_UP boundary, where the
+    6-dp cross-engine parity is decided by which side the double sum's
+    last ulp falls — i.e. by associativity. Those sums stay pinned to the
+    sequential single-partial order that has been oracle-green since
+    round 1. Exact-integer aggregates, per-row expressions, and per-doc
+    sums over an explode (one doc = one row = one partition, so the
+    within-doc order never changes) are all order-safe and keep the
+    rebalance.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if not rebalance:
+        return df
+    n = df.rdd.getNumPartitions()
+    p = spark.sparkContext.defaultParallelism
+    if 0 < n < p:
+        df = df.repartition(p)
+    return df
 
 
 def h60(col: Column | str) -> Column:

@@ -244,7 +244,12 @@ CORPUS_STATS_SQL = _corpus_stats_sql()
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus_stats(load(spark, sf_dir, "documents"))
+    # rebalance=False: avg_quality averages 6-dp-rounded values, whose
+    # group means frequently land EXACTLY on the HALF_UP boundary — the
+    # 6-dp cross-engine parity there is decided by summation order, so
+    # this query keeps the sequential single-partial sum the oracle has
+    # been green against since round 1 (see common.load)
+    return corpus_stats(load(spark, sf_dir, "documents", rebalance=False))
 
 
 QUERIES = {"corpus_keep": q_corpus_keep, "corpus_stats": q_corpus_stats}

@@ -373,21 +373,27 @@ def span_dedup(df: DataFrame, w: int = SPAN_W) -> DataFrame:
     map-side-combining hash aggregate, NOT a window over h, so a hot
     boilerplate shingle with 10^9 occurrences never sorts (or collects)
     in one task; the join back to occurrences is (many × 1) on h and AQE
-    splits skewed partitions. Covered positions explode w rows per
-    duplicate occurrence and anti-mark via a left join on (doc_id, pos);
-    reassembly is the order-pinned array_sort-of-structs discipline (R7,
-    `src/ocr_rec.cpp:126-127`). The documents scan runs 3× (tokens branch,
-    shingle branch into the agg and into the occurrence join) — Catalyst
-    has no cross-branch reuse and the shingle stream is too large to
-    checkpoint; three scans is the price of the skew-safe agg+join shape.
+    splits skewed partitions. Duplicate STARTS then collapse to one small
+    per-doc covered-position array (collect_set of starts, expanded and
+    deduplicated as array expressions), and reassembly is pure per-row
+    array work on the token array: ``array_except(sequence(1, n), cov)``
+    keeps surviving positions in document order with no per-token
+    explode, no (doc_id, pos) shuffle join, and no collect_list sort —
+    the round-6 rewrite of the round-5 shape, which exploded and
+    re-shuffled every token of the corpus to anti-mark covered positions
+    (guide §2.3: shuffle keys and metadata, not payloads; the only rows
+    that shuffle now are shingle hashes and duplicate starts). Scans: 2×
+    for shingles (keeper agg + occurrence join — Catalyst has no
+    cross-branch reuse and the shingle stream is too large to checkpoint)
+    + 1× for reassembly.
     """
-    base = df.filter(F.col("text").isNotNull()).select(
-        "doc_id", tokens(F.col("text")).alias("arr")
+    base = (
+        df.filter(F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("arr"))
+        # zero-token docs emit no row (the posexplode form dropped them
+        # implicitly; the array form must filter explicitly)
+        .filter(F.size("arr") >= 1)
     )
-    # 1-based positions to match the 1-based slice/start indexing
-    toks = base.select(
-        "doc_id", F.posexplode("arr").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     sh = (
         base.filter(F.size("arr") >= w)
         .select(
@@ -420,24 +426,26 @@ def span_dedup(df: DataFrame, w: int = SPAN_W) -> DataFrame:
         )
         .select("doc_id", "start")
     )
-    covered = dups.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("start"), F.col("start") + (w - 1))
-        ).alias("pos"),
-    ).distinct()
-    marked = toks.join(
-        covered.withColumn("cov", F.lit(1)), ["doc_id", "pos"], "left"
+    cov = dups.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.collect_set("start"),
+                    lambda s: F.sequence(s, s + (w - 1)),
+                )
+            )
+        ).alias("cov")
     )
-    kept_struct = F.when(F.col("cov").isNull(), F.struct("pos", "tok"))
-    return marked.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(F.coalesce(F.col("cov"), F.lit(0))).alias("n_removed"),
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("arr")), F.coalesce(F.col("cov"), F.array())
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
         F.concat_ws(
             " ",
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda x: x.tok
-            ),
+            F.transform(kept_pos, lambda p: F.element_at(F.col("arr"), p)),
         ).alias("clean_text"),
     )
 
@@ -743,13 +751,40 @@ def neardup_increment(
         )
         .select("corpus_id", "band_key")
     )
-    cand = inc_bands.join(cor_kept, "band_key").select("doc_id", "corpus_id").distinct()
+    # The candidate pair list feeds two consumers (the corpus-side semi
+    # filter and the verify join) and Catalyst has no cross-branch reuse,
+    # so it is persisted LAZILY: the broadcast-build job below materializes
+    # it, the verify join reuses the cached partitions, and no eager
+    # blocking job is paid up front (round-6 A/B: lazy persist 0.60× vs
+    # the round-5 shape; an eager localCheckpoint variant measured 1.16× —
+    # the extra synchronous job cost more than the semi-join saved). The
+    # candidate corpus ids then broadcast-SEMI-filter the corpus BEFORE
+    # tokenization: corpus token arrays are built and shuffled only for
+    # candidate doc_ids (previously cand.join(cor_toks) tokenized and
+    # shuffled EVERY corpus row — the round-5 ADVICE finding). The id set
+    # is one delivery's candidates (band-cap-bounded per increment band
+    # key), not the corpus, so the broadcast is bounded. The cached frame
+    # is candidate-pair-sized; a long-lived session owner can unpersist it
+    # after consuming the result.
+    cand = (
+        inc_bands.join(cor_kept, "band_key")
+        .select("doc_id", "corpus_id")
+        .distinct()
+        .persist()
+    )
     inc_toks = new_df.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("ta")
     )
-    cor_toks = corpus_df.select(
-        F.col("doc_id").alias("corpus_id"),
-        F.array_distinct(tokens(F.col("text"))).alias("tb"),
+    cor_toks = (
+        corpus_df.select(F.col("doc_id").alias("corpus_id"), "text")
+        .join(
+            F.broadcast(cand.select("corpus_id").distinct()),
+            "corpus_id",
+            "semi",
+        )
+        .select(
+            "corpus_id", F.array_distinct(tokens(F.col("text"))).alias("tb")
+        )
     )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
     union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter

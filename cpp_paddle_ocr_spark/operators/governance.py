@@ -135,11 +135,23 @@ def _eval_bucket(col: Column) -> Column:
 
 
 def _shingled(df: DataFrame, shingle: int) -> DataFrame:
+    # per-doc dedup happens in the projection (array_distinct over the
+    # shingle array), NOT as a DataFrame .distinct(): the distinct-shingle
+    # set of a document is a per-row computation, and the old
+    # (doc_id, shingle) distinct was a full exchange+hash-agg of every
+    # shingle string in the corpus — twice, once per branch of the
+    # self-split form (guide §2.4: remove shuffles outright). Identical
+    # output: doc_id is constant within a row's explode, so per-array
+    # dedup IS pair dedup.
     return (
         df.filter(F.col("text").isNotNull())
         .select("doc_id", tokens(F.col("text")).alias("t"))
-        .select("doc_id", F.explode(F.expr(_shingle_expr(shingle))).alias("shingle"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({_shingle_expr(shingle)})")
+            ).alias("shingle"),
+        )
     )
 
 

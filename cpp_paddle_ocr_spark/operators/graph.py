@@ -11,10 +11,12 @@ discipline as ``clustering.verified_pairs``'s cross-multiplied Jaccard).
 
 Scale shape (100 TB / 10^10-node graph): each iteration is ONE shuffle —
 edges (pre-joined once with out-degrees and eagerly checkpointed) join the
-current rank vector on src, then hash-aggregate contributions by dst; the
-rank vector is per-iteration localCheckpointed like the connected-
-components rounds (lineage truncation + Catalyst's missing cross-branch
-reuse, CLAUDE.md #13). Dangling-node mass leaks (the standard simplified
+current rank vector on src, then hash-aggregate contributions by dst. The
+fixed-count loop references each round's rank vector exactly once, so the
+unrolled lineage is LINEAR and the default 5 rounds run as one job —
+round 6 removed the per-iteration eager localCheckpoint (pure fixed
+overhead, A/B 0.83×); deep custom iteration counts still truncate lineage
+every 8 rounds. Dangling-node mass leaks (the standard simplified
 formulation) — ranks are a relative priority signal, not a probability.
 
 Reference parity note: the reference engine has no graph stage; this is a
@@ -70,7 +72,7 @@ def pagerank(
     # one reusable (src, dst, deg) frame: re-read every iteration
     weighted = e.join(outdeg, "src").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             weighted.join(ranks, weighted.src == ranks.node)
             .select(
@@ -80,16 +82,21 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.lit(PR_BASE) + F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(PR_BASE) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
         )
+        # The loop is FIXED-count with `ranks` referenced exactly once per
+        # round, so the unrolled lineage is LINEAR (no cross-branch
+        # replay, CLAUDE.md #13 does not bite) and the default 5 rounds
+        # execute as ONE job instead of five eager checkpoint jobs —
+        # round-6 A/B: the per-round eager localCheckpoint was pure fixed
+        # overhead at every scale. Deep custom iteration counts still
+        # truncate lineage every 8 rounds to bound plan depth.
+        if i % 8 == 7 and i != iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

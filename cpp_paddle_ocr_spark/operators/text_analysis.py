@@ -141,12 +141,27 @@ FROM documents
 
 def fingerprint(df: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized text, plus a
-    winnowing-style min-hash over all 16-char windows (rolling-hash analog)."""
+    winnowing-style min-hash over all 16-char windows (rolling-hash analog).
+
+    The hex→integer decode (``conv``) runs ONCE per document, outside the
+    window min: md5 hex is fixed-length lowercase [0-9a-f], where
+    lexicographic order IS numeric order, so ``conv(min(hex)) ≡
+    min(conv(hex))`` — the min folds over the hex strings and only the
+    winner is decoded (round-6; the old form paid substring+conv per
+    window). Two explode-vs-HOF A/Bs this round both favored keeping the
+    projection form: an explode → groupBy(doc_id) min rewrite measured
+    1.13× SLOWER at sf1 once the scan-parallelism floor landed (the
+    per-window md5 dominates either way, and the explode adds row
+    overhead + a shuffle), and a pre-explode fp_md5 projection gets pushed
+    above the Generate and re-runs the full-text regexp+md5 per window
+    (measured 5.6× slower) — BASELINE.md #18's "A/B first" rule cuts both
+    ways.
+    """
     norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
     win = F.expr(
-        "array_min(transform(sequence(1, greatest(length(text) - 15, 1)), "
-        "i -> cast(conv(substring(md5(substring(text, i, 16)), 1, 15), 16, 10)"
-        " as bigint)))"
+        "cast(conv(substring(array_min(transform("
+        "sequence(1, greatest(length(text) - 15, 1)), "
+        "i -> md5(substring(text, i, 16)))), 1, 15), 16, 10) as bigint)"
     )
     return df.select(
         "doc_id",
