@@ -400,7 +400,12 @@ def detect_page(
     )  # last token index of each token's block
 
     # --- second pass: D12 unclip into background only, D14 min-size --------
-    spans: list[Span] = []
+    # The clamp chain is sequential (prev_ue), but the page→doc offset
+    # mapping is not: collect (block, cs, ce, score) in the loop and run
+    # doc_off ONCE over the batch — the per-span scalar searchsorted pair
+    # was ~7% of kernel time on span-heavy pages (round-6 profile: 60k
+    # doc_off calls / 400 docs). Integer-exact, byte-identical output.
+    kept: list[tuple[int, int, int, float]] = []
     prev_ue = -1
     prev_block = -1
     for k, (rs, re_, score) in enumerate(runs):
@@ -418,13 +423,21 @@ def detect_page(
         cs, ce = int(tstarts[us]), int(tends[ue - 1])
         if ce - cs < MIN_SPAN_CHARS:  # D14 post-unclip minimum
             continue
-        spans.append(
-            Span(
-                block_id=b,
-                start=int(meta.doc_off(np.int64(cs))),
-                end=int(meta.doc_off(np.int64(ce - 1))) + 1,
-                text=page[cs:ce],
-                score=score,
-            )
+        kept.append((b, cs, ce, score))
+    if not kept:
+        return []
+    cs_arr = np.fromiter((t[1] for t in kept), np.int64, len(kept))
+    ce_arr = np.fromiter((t[2] for t in kept), np.int64, len(kept))
+    starts = meta.doc_off(cs_arr)
+    ends = meta.doc_off(ce_arr - 1) + 1
+    spans = [
+        Span(
+            block_id=b,
+            start=int(starts[k]),
+            end=int(ends[k]),
+            text=page[cs:ce],
+            score=score,
         )
+        for k, (b, cs, ce, score) in enumerate(kept)
+    ]
     return nms(spans)

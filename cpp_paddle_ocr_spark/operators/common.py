@@ -43,10 +43,20 @@ def load(
     FilePartition packing caps each split at
     ``spark.sql.files.maxPartitionBytes`` — implies the whole table is
     under ``cores × maxPartitionBytes`` (≈4 GB here): a provably cheap
-    round-robin exchange. Production-scale layouts (files ≥ cores) never
-    hit the condition and pay nothing. Deterministic: round-robin
-    repartition sorts before assigning (SPARK-23207 default), and no
-    declared query's result depends on partitioning.
+    exchange. Production-scale layouts (files ≥ cores) never hit the
+    condition and pay nothing. The spread key is a deterministic
+    ``xxhash64`` of the table's LEADING column (every driver table leads
+    with its id key — guide §2.5's ``pmod(xxhash64(id), …)``
+    prescription), NOT a keyless round-robin and NOT a hash of all
+    columns: round-robin pays ``sortBeforeRepartition`` (SPARK-23207) — a
+    full LOCAL SORT of the input serialized on the very single-task stage
+    being rescued (A/B at sf1: hash 0.63–0.90× the round-robin legs on
+    the events queries) — and an all-column hash key references every
+    column in the exchange, defeating column pruning at the scan (caught
+    by the corpus_keep ReadSchema pin). A single-id key is
+    retry-deterministic, spreads uniformly, and costs at most one extra
+    8-byte column in the read schema. No declared query's result depends
+    on partitioning.
 
     Callers whose output depends on float SUMMATION ORDER at a rounding
     boundary pass ``rebalance=False``: averaging values that are
@@ -66,7 +76,7 @@ def load(
     n = df.rdd.getNumPartitions()
     p = spark.sparkContext.defaultParallelism
     if 0 < n < p:
-        df = df.repartition(p)
+        df = df.repartition(p, F.xxhash64(F.col(df.columns[0])))
     return df
 
 

@@ -244,9 +244,11 @@ def test_url_canonical_stateless_projection(spark):
     plan = plan_of(governance.QUERIES["url_canonical"](spark, SF))
     assert plan.count("Scan parquet") == 1
     # the only exchange allowed is common.load's file-granularity
-    # parallelism floor (round 6: RoundRobin rebalance of a single-file
-    # table); the canonicalization itself must stay shuffle-free
+    # parallelism floor (round 6: deterministic xxhash64 rebalance of a
+    # single-file table); the canonicalization itself must stay
+    # shuffle-free
     import re
 
-    exchanges = re.findall(r"Exchange \w+", plan)
-    assert all("RoundRobinPartitioning" in e for e in exchanges), exchanges
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*", plan)
+    assert plan.count("Exchange") == len(exchanges), plan
+    assert all("xxhash64" in e for e in exchanges), exchanges
