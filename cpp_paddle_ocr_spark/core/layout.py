@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -323,6 +324,7 @@ def _marker_coverage(doc: str, canvas_len: int, scale: float) -> np.ndarray:
     return cov
 
 
+@lru_cache(maxsize=None)
 def _softmax_expectation(bin_idx: int) -> float:
     """disPred2Bbox's distance decode (:538-547): softmax over reg_max
     discrete logits, expectation Σ j·p[j]. The stand-in logits peak at the
@@ -330,7 +332,11 @@ def _softmax_expectation(bin_idx: int) -> float:
     behavior (the expectation is pulled slightly toward the center bins).
     The softmax is the reference's fast_exp variant — Picodet is the live
     consumer of ``activation_function_softmax`` (``src/utility.cpp:
-    359-376``), so this path is bit-faithful rather than exact-exp."""
+    359-376``), so this path is bit-faithful rather than exact-exp.
+
+    lru_cache: a pure function of ``bin_idx`` ∈ [0, REG_MAX) — the
+    per-emitted-cell recompute was 24% of the layout kernel in the round-6
+    profile; the cached value is the identical float."""
     j = np.arange(REG_MAX, dtype=np.float64)
     logits = -2.0 * np.abs(j - bin_idx)
     p = softmax_1d(logits, mode="fast_exp")
