@@ -62,6 +62,18 @@ def test_span_dedup_short_and_null_docs(spark):
     assert out[0].clean_text == "too short for any shingle"
 
 
+def test_span_dedup_zero_token_doc_emits_no_row(spark):
+    # whitespace-only text: the round-5 posexplode form dropped it
+    # implicitly (no exploded rows → no group); the round-6 array form
+    # must keep that contract via its explicit size(arr) >= 1 filter
+    df = spark.createDataFrame(
+        [(0, "   \t  "), (1, "one real document here")],
+        "doc_id long, text string",
+    )
+    out = span_dedup(df).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
 def test_span_dedup_within_doc_repeat(spark):
     df = _docs(spark, [f"{SPAN} bridge {SPAN}"])
     out = span_dedup(df).collect()[0]
