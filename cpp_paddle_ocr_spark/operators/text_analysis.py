@@ -558,11 +558,19 @@ def tfidf_topterms(df: DataFrame, k: int = TFIDF_K) -> DataFrame:
     on the token key (hot tokens are exactly the low-idf ones, AQE splits
     them); top-k per doc is a bounded collect_list + comparator
     array_sort, NOT a corpus-wide window — no single-task sort anywhere.
+    The per-doc count frame feeds BOTH the doc-frequency aggregate and the
+    scoring join, and Catalyst has no cross-branch reuse (CLAUDE.md #13),
+    so it is persisted lazily — the round-5 plan re-scanned and re-exploded
+    the corpus once per branch (round-6 A/B at sf1: 0.49× from the one
+    persist; MEMORY_AND_DISK, already smaller than the token stream it
+    replaces recomputing).
     """
     toks = df.filter(F.col("text").isNotNull()).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    tfd = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf_d"))
+    tfd = (
+        toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf_d")).persist()
+    )
     dfreq = tfd.groupBy("tok").agg(F.count("*").alias("doc_freq"))
     total = df.select(F.count("*").cast("double").alias("n_docs"))
     scored = (
