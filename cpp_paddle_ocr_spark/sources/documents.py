@@ -22,6 +22,25 @@ from ..fixtures import layout_page, media_item, page
 from ..schemas import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
 
 
+def _gen_partitions(spark: SparkSession, n: int) -> int:
+    """Default partition count for the synthetic generators.
+
+    Compute-bound fixture tasks (page synthesis now, the Python cascade
+    reading the result later) should be sized by DURATION, not bytes: one
+    task per core means one wave, and on a shared-tenant host one slow
+    core adds its whole task to the stage wall (guide §2.6 stragglers —
+    the round-6 extract passes spread 52-106 s at 32 one-wave tasks).
+    Four waves bound the straggler penalty to ~¼ wave: interleaved-pair
+    A/B of the 200k-doc extract over a 32-file vs 128-file fixture
+    measured 0.925/0.969/0.773 (128-file faster in every pair). Small
+    tables stay at one-partition-per-core — the ``n // 1000`` guard keeps
+    test/fixture tables (≤ ~32k rows) at the old layout so only
+    long-stage fixtures split finer.
+    """
+    dp = spark.sparkContext.defaultParallelism
+    return min(4 * dp, max(dp, n // 1000))
+
+
 def generate_documents(
     spark: SparkSession,
     n: int,
@@ -37,7 +56,7 @@ def generate_documents(
                 columns=[f.name for f in DOCUMENTS_SCHEMA.fields],
             )
 
-    rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    rng = spark.range(0, n, 1, num_partitions or _gen_partitions(spark, n))
     return rng.mapInPandas(gen, DOCUMENTS_SCHEMA)
 
 
@@ -57,7 +76,7 @@ def generate_media(
                 columns=[f.name for f in MEDIA_SCHEMA.fields],
             )
 
-    rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    rng = spark.range(0, n, 1, num_partitions or _gen_partitions(spark, n))
     return rng.mapInPandas(gen, MEDIA_SCHEMA)
 
 
@@ -84,7 +103,7 @@ def generate_layout_docs(
                 columns=["url", "html"],
             )
 
-    rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    rng = spark.range(0, n, 1, num_partitions or _gen_partitions(spark, n))
     return rng.mapInPandas(gen, schema)
 
 
