@@ -25,6 +25,10 @@ from .activations import softmax_rows
 from .detect import codepoints, ws_mask
 
 _SEP_CP = np.array([ord(c) for c in "|·•›»/"], dtype=np.uint32)
+# Full-codepoint-domain lookup (CLAUDE.md #4c: size the table to the index
+# domain instead of clamping — and unlike np.isin, a plain gather).
+_SEP_TABLE = np.zeros(0x110000, dtype=bool)
+_SEP_TABLE[_SEP_CP] = True
 
 
 def encode_char_classes(texts: list[str]) -> np.ndarray:
@@ -50,9 +54,10 @@ def encode_char_classes(texts: list[str]) -> np.ndarray:
     codes[(cp >= 65) & (cp <= 90)] = 2
     codes[(cp >= 48) & (cp <= 57)] = 3
     codes[ws_mask(cp)] = 4
-    codes[np.isin(cp, _SEP_CP)] = 6
+    codes[_SEP_TABLE[cp]] = 6
     rows = np.repeat(np.arange(n), lens)
-    cols = np.concatenate([np.arange(l) for l in lens.tolist()])
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    cols = np.arange(cp.size) - np.repeat(starts, lens)
     out[rows, cols] = codes
     return out
 
@@ -77,11 +82,26 @@ def classify_spans(
     if n == 0:
         return labels, scores
     codes = encode_char_classes(texts)
-    for beg in range(0, n, CLS_BATCH):  # K3 batch loop, src/ocr_cls.cpp:36-87
-        batch = codes[beg : beg + CLS_BATCH]
-        x = batch.astype(np.float64) / 6.0  # normalize codes to [0,1]
-        logits = x @ CLS_W + CLS_B
+    # K3 batches of CLS_BATCH (src/ocr_cls.cpp:36-87), full batches stacked
+    # into ONE 3-D matmul: np.matmul over a (nb, 8, 192) stack runs the
+    # identical per-slice (8,192)@(192,2) gemm, and the class-logit
+    # reduction's inner loop is the same per row — verified bitwise equal
+    # to the per-batch loop (test_classify batched-equality pin). The
+    # per-8-rows Python/numpy dispatch overhead was ~14% of kernel time.
+    nfull = (n // CLS_BATCH) * CLS_BATCH
+    if nfull:
+        stack = codes[:nfull].reshape(-1, CLS_BATCH, CLS_FEAT_W)
+        x = stack.astype(np.float64) / 6.0  # normalize codes to [0,1]
+        logits = np.matmul(x, CLS_W) + CLS_B
         # structured per-class contribution via lookup (see weights.py)
+        logits = logits + CLS_CLASS_LOGITS[stack].sum(axis=2)
+        probs = _softmax(logits.reshape(nfull, -1), softmax_mode)
+        labels[:nfull] = probs.argmax(axis=1)
+        scores[:nfull] = probs.max(axis=1)
+    for beg in range(nfull, n, CLS_BATCH):  # trailing partial batch
+        batch = codes[beg : beg + CLS_BATCH]
+        x = batch.astype(np.float64) / 6.0
+        logits = x @ CLS_W + CLS_B
         logits = logits + CLS_CLASS_LOGITS[batch].sum(axis=1)
         probs = _softmax(logits, softmax_mode)
         labels[beg : beg + CLS_BATCH] = probs.argmax(axis=1)

@@ -70,7 +70,11 @@ _STOPWORDS_PACKED = np.sort(
 
 # Whitespace lookup table (fixed set → deterministic tokenization everywhere):
 # ASCII \t..\r, space, NBSP, U+1680, U+2000-200B, U+2028/29/2F, U+205F, U+3000.
-_WS_TABLE = np.zeros(0x3001, dtype=bool)
+# Sized to the FULL codepoint domain (1.1 MB of bools, CLAUDE.md #4c): every
+# codepoint above U+3000 is never whitespace → those entries are simply
+# False, and the gather needs no clamping `where` (which allocated two
+# temporaries per call and measured ~2x slower on multi-MB pages).
+_WS_TABLE = np.zeros(0x110000, dtype=bool)
 _WS_TABLE[[9, 10, 11, 12, 13, 32, 160, 0x1680, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000]] = True
 _WS_TABLE[0x2000 : 0x200C] = True
 
@@ -94,12 +98,7 @@ def codepoints(text: str) -> np.ndarray:
 
 
 def ws_mask(cp: np.ndarray) -> np.ndarray:
-    # Codepoints above the table (CJK ideographs, Hangul, emoji, SMP) are
-    # never whitespace → gather through a known-False index (0x21, '!'),
-    # mirroring core/decode.py::_drop_mask. (An earlier clamp to 0x3000 —
-    # ideographic space, True — silently classified ALL such text as
-    # whitespace, destroying non-Latin content end-to-end.)
-    return _WS_TABLE[np.where(cp > 0x3000, 0x21, cp)]
+    return _WS_TABLE[cp]
 
 
 def _token_runs(mask_nonws: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -336,8 +335,14 @@ def detect_page(
         ck = cp[np.minimum(tstarts + k, last)].astype(np.int64)
         ck = np.where((ck >= 65) & (ck <= 90), ck + 32, ck) - 96  # casefold
         packed = np.where(has_k, (packed << 5) | np.clip(ck, 0, 31), packed)
+    # membership via searchsorted on the sorted packed table — identical to
+    # np.isin (whose in1d path re-sorts both sides per call; measured ~4% of
+    # kernel time across det+cls in the round-6 profile)
+    j = np.minimum(
+        _STOPWORDS_PACKED.searchsorted(packed), _STOPWORDS_PACKED.size - 1
+    )
     feats[:, 4] = np.where(
-        eligible & np.isin(packed, _STOPWORDS_PACKED), 1.0, 0.0
+        eligible & (_STOPWORDS_PACKED[j] == packed), 1.0, 0.0
     )
     feats[:, 5] = seg_sum(upper) / tok_len
     # link/hint from per-segment/per-block metadata (tokens never cross a

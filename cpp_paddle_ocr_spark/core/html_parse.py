@@ -49,8 +49,15 @@ VOID_TAGS = frozenset(
     "br hr img input meta link area base col embed source track wbr".split()
 )
 
-_TAG_RE = re.compile(r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<[^>]*>", re.DOTALL)
-_TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+# The tag tokenizer captures the optional close-slash and tag name in the
+# same pass (groups 1/2) — the separate _TAG_NAME_RE.match per tag measured
+# ~5% of kernel time. The third alternative matches exactly the strings
+# `<[^>]*>` did: every sub-pattern before `[^>]*` is optional.
+_TAG_RE = re.compile(
+    r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)?[^>]*>",
+    re.DOTALL,
+)
 
 
 @dataclass
@@ -112,17 +119,19 @@ def parse_blocks(doc: str, max_candidates: int = MAX_CANDIDATES) -> list[Block]:
         cur.segments.append((s, e))
         cur.seg_link.append(a_depth > 0)
 
+    lower_memo: dict[str, str] = {}
     for m in _TAG_RE.finditer(doc):
-        add_text(pos, m.start())
+        ms = m.start()
+        if pos < ms:
+            add_text(pos, ms)
         pos = m.end()
-        tag = m.group(0)
-        if tag.startswith("<!"):
-            continue  # comment / CDATA / doctype
-        nm = _TAG_NAME_RE.match(tag)
-        if nm is None:
-            continue
-        name = nm.group(1).lower()
-        closing = tag.startswith("</")
+        raw_name = m.group(2)
+        if raw_name is None:
+            continue  # comment / CDATA / doctype / nameless tag
+        name = lower_memo.get(raw_name)
+        if name is None:
+            name = lower_memo[raw_name] = raw_name.lower()
+        closing = m.group(1) == "/"
         if name in SKIP_TAGS:
             if closing:
                 if skip_depth > 0:
@@ -135,8 +144,8 @@ def parse_blocks(doc: str, max_candidates: int = MAX_CANDIDATES) -> list[Block]:
             if closing:
                 if a_depth > 0:
                     a_depth -= 1
-            else:
-                a_depth = a_depth + 1 if tag[-2:] != "/>" else a_depth
+            else:  # doc[pos-2:pos] is the tag's last two chars (pos = end)
+                a_depth = a_depth + 1 if doc[pos - 2 : pos] != "/>" else a_depth
             continue
         if name in BLOCK_TAGS:
             flush()
@@ -149,7 +158,14 @@ def parse_blocks(doc: str, max_candidates: int = MAX_CANDIDATES) -> list[Block]:
             if name in VOID_TAGS:
                 continue
         if not closing:
-            if HINT_ATTR_RE.search(tag) and name not in VOID_TAGS:
+            # a class=/id= hint needs an '=' in the tag; str.find over the
+            # region skips the regex (and the tag slice) for the attribute-
+            # free majority of tags
+            if (
+                doc.find("=", ms, pos) != -1
+                and HINT_ATTR_RE.search(doc[ms:pos])
+                and name not in VOID_TAGS
+            ):
                 hint_attr_depth += 1
                 open_hint_attr[name] = open_hint_attr.get(name, 0) + 1
                 if name in BLOCK_TAGS:
