@@ -376,6 +376,23 @@ def detect_regions_page(doc: str) -> list[RegionBox]:
     scale = canvas_len / doc_len  # scale_factor analog (:471-473)
     cov = _marker_coverage(doc, canvas_len, scale)
 
+    # Coverage-run boundaries per class, computed once per page: the
+    # per-cell `while row[...]` scans re-walked the same runs char by char
+    # (2.9M Python steps / 300 pages in the round-6 profile — 80% of the
+    # layout kernel). searchsorted over these arrays returns the identical
+    # (run_start, run_end) for any anchor inside a run.
+    run_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def runs_of(ci: int) -> tuple[np.ndarray, np.ndarray]:
+        r = run_cache.get(ci)
+        if r is None:
+            d = np.diff(np.concatenate(([0], cov[ci], [0])).astype(np.int8))
+            run_cache[ci] = r = (
+                np.nonzero(d == 1)[0],
+                np.nonzero(d == -1)[0] - 1,  # inclusive last covered index
+            )
+        return r
+
     per_class: list[list[RegionBox]] = [[] for _ in LAYOUT_LABELS]
     for stride in FPN_STRIDES:
         n_cells = -(-canvas_len // stride)  # ceil, :478-479
@@ -400,12 +417,10 @@ def detect_regions_page(doc: str) -> list[RegionBox]:
             anchor = min(int(ct), canvas_len - 1)
             if not row[anchor]:
                 continue
-            run_start = anchor
-            while run_start > 0 and row[run_start - 1]:
-                run_start -= 1
-            run_end = anchor
-            while run_end + 1 < canvas_len and row[run_end + 1]:
-                run_end += 1
+            starts, ends = runs_of(ci)
+            k = int(np.searchsorted(starts, anchor, side="right")) - 1
+            run_start = int(starts[k])
+            run_end = int(ends[k])
             # FPN scale assignment: a region belongs to the FINEST level
             # whose distance head can span it ((REG_MAX-1)·stride); other
             # levels' heads would clip the distance and emit partial boxes,
