@@ -96,3 +96,36 @@ def test_fast_exp_large_positive_stays_finite():
     out = fast_exp(np.array([100.0, 1000.0, 1e6]))
     assert np.all(np.isfinite(out))
     assert np.all(out > 0)
+
+
+def test_stacked_batches_match_per_batch_reference():
+    """Round-6 pin: the 3-D stacked-matmul fast path is bit-identical
+    (labels AND score bits) to the per-CLS_BATCH loop it replaced, in both
+    softmax modes — including a trailing partial batch."""
+    import random
+
+    from cpp_paddle_ocr_spark.config import CLS_BATCH
+    from cpp_paddle_ocr_spark.core.activations import softmax_rows
+    from cpp_paddle_ocr_spark.weights import CLS_B, CLS_CLASS_LOGITS, CLS_W
+
+    rnd = random.Random(7)
+    chars = "abc DEF 123 |·•›»/ .,;:!? 中文 😀 \t\n"
+    texts = [
+        "".join(rnd.choice(chars) for _ in range(rnd.randint(0, 250)))
+        for _ in range(CLS_BATCH * 3 + 5)  # forces a partial tail batch
+    ]
+    codes = encode_char_classes(texts)
+    for mode in ("exact", "fast_exp"):
+        labels, scores = classify_spans(texts, mode)
+        for beg in range(0, len(texts), CLS_BATCH):
+            batch = codes[beg : beg + CLS_BATCH]
+            x = batch.astype(np.float64) / 6.0
+            logits = x @ CLS_W + CLS_B
+            logits = logits + CLS_CLASS_LOGITS[batch].sum(axis=1)
+            probs = softmax_rows(logits, mode)
+            want_l = probs.argmax(axis=1)
+            want_s = probs.max(axis=1)
+            assert (labels[beg : beg + CLS_BATCH] == want_l).all()
+            assert (
+                scores[beg : beg + CLS_BATCH].tobytes() == want_s.tobytes()
+            )

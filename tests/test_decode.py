@@ -98,3 +98,39 @@ def test_encode_interleaves_blanks():
     assert seq.tolist() == [ord("a"), 0, ord("b"), 0]
     seq = encode_timesteps("a b")
     assert seq.tolist() == [ord("a"), 0, 32, ord("b"), 0]
+
+
+def test_batched_select_matches_per_row_reference():
+    """Round-6 pin: ctc_greedy_batch's one-2D-select form is bit-identical
+    (text AND confidence bits) to the per-row boolean-index reference it
+    replaced — np.add.reduce over the contiguous row slice must run the
+    same pairwise tree as probs[i, k].mean()."""
+    from cpp_paddle_ocr_spark.weights import rec_timestep_probs
+
+    rng = np.random.RandomState(0)
+    for trial in range(40):
+        seqs = [
+            rng.choice(
+                [0, 32, 97, 98, 98, 0x4E2D, 0x1F600], size=rng.randint(0, 400)
+            ).astype(np.uint32)
+            for _ in range(rng.randint(1, 17))
+        ]
+        got = ctc_greedy_batch(seqs)
+        width = max((s.size for s in seqs), default=0)
+        if width == 0:
+            assert got == [("", 0.0)] * len(seqs)
+            continue
+        mat = np.zeros((len(seqs), width), dtype=np.uint32)
+        for i, s in enumerate(seqs):
+            mat[i, : s.size] = s
+        probs = rec_timestep_probs(mat)
+        keep = mat != 0
+        keep[:, 1:] &= mat[:, 1:] != mat[:, :-1]
+        for i, (text, conf) in enumerate(got):
+            k = keep[i]
+            if not k.any():
+                assert (text, conf) == ("", 0.0)
+                continue
+            assert text == mat[i, k].tobytes().decode("utf-32-le")
+            want = float(probs[i, k].mean())
+            assert np.float64(conf).tobytes() == np.float64(want).tobytes()

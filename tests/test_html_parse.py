@@ -93,3 +93,31 @@ def test_block_ids_sequential_document_order():
     blocks = parse_blocks(doc)
     assert [b.block_id for b in blocks] == [0, 1, 2]
     assert [b.start for b in blocks] == sorted(b.start for b in blocks)
+
+
+def test_tokenizer_edge_tags_round6():
+    """Round-6 pin for the fused tag tokenizer: whitespace-after-slash
+    closes, nameless/doctype/PI tags, self-closed <a/>, and an UPPERCASE
+    CLASS hint (the '=' precheck must stay case-insensitive-safe)."""
+    # '</ div>' IS a valid close (the old _TAG_NAME_RE allowed '\\s*');
+    # '< p>' opens p; '<3>' and '<?xml?>' are nameless -> ignored as tags
+    blocks = parse_blocks("< p>one</ p><3>two<?xml v='1'?></p>")
+    assert [b.text("< p>one</ p><3>two<?xml v='1'?></p>") for b in blocks] == [
+        "one",
+        "two",
+    ]
+    # <!DOCTYPE ...> ignored; text flows into the body block
+    blocks = parse_blocks("<!DOCTYPE html><p>x</p>")
+    assert len(blocks) == 1 and blocks[0].segments == [(15 + 3, 15 + 4)]
+    # self-closed <a/> does not open a link region
+    doc = "<p><a/>plain</p>"
+    (b,) = parse_blocks(doc)
+    assert b.seg_link == [False]
+    # unclosed <a> does
+    doc2 = "<p><a>linked</p>"
+    (b2,) = parse_blocks(doc2)
+    assert b2.seg_link == [True]
+    # uppercase attribute name still hints
+    doc3 = "<div CLASS='footer'>f</div><p>c</p>"
+    b3 = parse_blocks(doc3)
+    assert [blk.hint for blk in b3] == [True, False]

@@ -273,3 +273,20 @@ def test_extract_with_layout_guard_rows_have_empty_layout(spark):
     out = {r.url: r for r in extract_with_layout(df).collect()}
     assert not out["u-empty"].success and out["u-empty"].tables == []
     assert not out["u-bad"].success and out["u-bad"].regions == []
+
+
+def test_region_run_touching_canvas_edges_round6():
+    """Round-6 pin for the precomputed run-bound lookup: coverage runs that
+    touch index 0 and the canvas end must yield the same extents the old
+    char-by-char walk produced (run_end stops at canvas_len-1)."""
+    from cpp_paddle_ocr_spark.core.layout import detect_regions_page
+
+    # figure marker at the very start, footer running to the very end
+    doc = "<img src=x>" + ("body text " * 30) + "<footer>tail</footer>"
+    boxes = detect_regions_page(doc)
+    labels = {b.label for b in boxes}
+    assert "figure" in labels and "footer" in labels
+    for b in boxes:
+        assert 0 <= b.start <= b.end <= len(doc)
+    foot = [b for b in boxes if b.label == "footer"]
+    assert foot and max(b.end for b in foot) >= len(doc) - 2
