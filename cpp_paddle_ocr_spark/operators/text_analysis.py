@@ -65,14 +65,30 @@ FROM documents
 """
 
 
+#: the exact character set Java's [A-Za-z0-9\s] matches (no
+#: UNICODE_CHARACTER_CLASS flag): 62 alphanumerics + the 6 ASCII \s chars.
+_QUALITY_KEEP_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \t\n\x0b\x0c\r"
+)
+
+
 def quality_cols() -> list:
     """Quality-score projection columns (shared with the fused corpus
     pipeline so composition costs zero extra scans)."""
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
     n_chars = F.length("text")
-    n_punct = F.length("text") - F.length(
-        F.regexp_replace(F.col("text"), "[^A-Za-z0-9\\s]", "")
+    # count of chars outside [A-Za-z0-9\s]: length(translate(text, KEEP, ''))
+    # deletes exactly the 68 chars Java's [A-Za-z0-9\s] matches (\s without
+    # UNICODE_CHARACTER_CLASS = space \t \n \x0B \f \r), so the remaining
+    # length IS the regex form's count — verified 0 mismatches over
+    # sf0.001/sf0.1/sf1, and 15× faster (the negated-class regexp_replace
+    # built a replaced copy of every document through the regex engine:
+    # 5.1 → 0.3 s for the whole quality projection at sf1; round-6
+    # session 2). The DuckDB oracle keeps its regexp form — same integers.
+    n_punct = F.length(
+        F.translate(F.col("text"), _QUALITY_KEEP_CHARS, "")
     )
     n_stop = F.size(F.array_intersect(tokens(F.lower(F.col("text"))), _arr_lit(EN_STOPS)))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
