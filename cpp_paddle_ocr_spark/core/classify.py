@@ -22,13 +22,21 @@ import numpy as np
 from ..config import CLS_BATCH, CLS_FEAT_W, CLS_SOFTMAX_MODE
 from ..weights import CLS_B, CLS_CLASS_LOGITS, CLS_W
 from .activations import softmax_rows
-from .detect import codepoints, ws_mask
+from .detect import _WS_TABLE, codepoints
 
 _SEP_CP = np.array([ord(c) for c in "|·•›»/"], dtype=np.uint32)
 # Full-codepoint-domain lookup (CLAUDE.md #4c: size the table to the index
-# domain instead of clamping — and unlike np.isin, a plain gather).
-_SEP_TABLE = np.zeros(0x110000, dtype=bool)
-_SEP_TABLE[_SEP_CP] = True
+# domain instead of clamping — and unlike np.isin, a plain gather). The
+# whole K1 class-code mapping is baked into ONE int8 table so encoding is
+# a single gather instead of five masked assignments over the batch
+# (byte-identical: the table entries reproduce the old assignment order —
+# lower/upper/digit, ws overriding none of them, separator overriding all).
+_CODE_TABLE = np.full(0x110000, 5, dtype=np.int8)
+_CODE_TABLE[97:123] = 1
+_CODE_TABLE[65:91] = 2
+_CODE_TABLE[48:58] = 3
+_CODE_TABLE[_WS_TABLE] = 4
+_CODE_TABLE[_SEP_CP] = 6
 
 
 def encode_char_classes(texts: list[str]) -> np.ndarray:
@@ -49,12 +57,7 @@ def encode_char_classes(texts: list[str]) -> np.ndarray:
     cp = codepoints("".join(clipped))
     if cp.size == 0:
         return out
-    codes = np.full(cp.size, 5, dtype=np.int8)
-    codes[(cp >= 97) & (cp <= 122)] = 1
-    codes[(cp >= 65) & (cp <= 90)] = 2
-    codes[(cp >= 48) & (cp <= 57)] = 3
-    codes[ws_mask(cp)] = 4
-    codes[_SEP_TABLE[cp]] = 6
+    codes = _CODE_TABLE[cp]
     rows = np.repeat(np.arange(n), lens)
     starts = np.concatenate(([0], np.cumsum(lens[:-1])))
     cols = np.arange(cp.size) - np.repeat(starts, lens)

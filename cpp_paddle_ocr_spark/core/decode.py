@@ -100,19 +100,22 @@ def ctc_greedy_batch(seqs: list[np.ndarray]) -> list[tuple[str, float]]:
     mat = np.zeros((b, width), dtype=np.uint32)  # pad with blank (R2)
     for i, s in enumerate(seqs):
         mat[i, : s.size] = s
-    probs = rec_timestep_probs(mat)
     keep = mat != 0
     keep[:, 1:] &= mat[:, 1:] != mat[:, :-1]  # repeat collapse (R5)
     # One 2-D boolean select per batch instead of per-row fancy indexing:
-    # mat[keep]/probs[keep] concatenate the kept elements in row-major
-    # order, so per-row results are contiguous slices. The whole batch is
+    # mat[keep] concatenates the kept elements in row-major order, so
+    # per-row results are contiguous slices. The whole batch is
     # utf-32-decoded once (C-speed) and sliced by cumulative keep counts.
+    # Probs are computed on the SELECTED elements only (elementwise
+    # deterministic hash — same values as selecting from a full-matrix
+    # computation, minus the wasted work on pads/collapsed timesteps).
     # Bit-identity of the confidence: probs[i, k].mean() is
     # umr_sum(contiguous float64)/n, and np.add.reduce over the identical
     # contiguous slice runs the same pairwise tree — same bytes out.
     counts = np.count_nonzero(keep, axis=1)
-    sel_text = mat[keep].tobytes().decode("utf-32-le")
-    psel = probs[keep]
+    msel = mat[keep]
+    sel_text = msel.tobytes().decode("utf-32-le")
+    psel = rec_timestep_probs(msel)
     bounds = np.concatenate(([0], np.cumsum(counts)))
     out: list[tuple[str, float]] = []
     for i in range(b):
@@ -156,6 +159,11 @@ def encode_timesteps_many(texts: list[str]) -> list[np.ndarray]:
     e_incl = np.add.accumulate(emit_blank.view(np.int8), dtype=np.int32)
     e_excl = e_incl - emit_blank
     bounds = np.concatenate(([0], np.cumsum(lens)))
+    # gidx[i] = i + e_excl[i]: char i's output slot, up to a per-span shift.
+    # For span [a, b) the in-span positions are gidx[a:b] - gidx[a] — one
+    # vector subtract per span instead of an arange + two adds (the arange
+    # alone was ~20k calls per 300-doc batch in the round-6 profile).
+    gidx = np.arange(cp.size, dtype=np.int32) + e_excl
     # NOTE: a fully-vectorized whole-batch construction (one flat buffer +
     # global scatter) was tried and measured ~70x SLOWER on the few-big-
     # spans regime the 2 MB oversized pages produce (giant int64 index
@@ -170,7 +178,7 @@ def encode_timesteps_many(texts: list[str]) -> list[np.ndarray]:
             continue
         total = L + int(e_incl[b - 1] - e_excl[a])
         seq = np.zeros(total, dtype=np.uint32)
-        pos = np.arange(L, dtype=np.int32) + (e_excl[a:b] - e_excl[a])
+        pos = gidx[a:b] - gidx[a]
         seq[pos] = sym[a:b]
         out.append(seq)
     return out

@@ -78,8 +78,24 @@ _WS_TABLE = np.zeros(0x110000, dtype=bool)
 _WS_TABLE[[9, 10, 11, 12, 13, 32, 160, 0x1680, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000]] = True
 _WS_TABLE[0x2000 : 0x200C] = True
 
+# Per-codepoint char class for the det features, one uint8 gather replacing
+# the ~11 uint32 comparison/boolean passes that built the ws/upper/letter/
+# digit/punct masks separately (same #4c full-domain-table pattern; uint8
+# reads make the 6 derived compares ~4x lighter than the uint32 chain).
+# Codes: 0 other, 1 ws, 2 upper, 3 lower, 4 digit, 5 ascii-punct (= any
+# cp < 128 that is not a letter, digit or whitespace — controls included,
+# exactly the old `(cp < 128) & ~letter & ~digit & ~ws` definition).
+_CLS_OTHER, _CLS_WS, _CLS_UPPER, _CLS_LOWER, _CLS_DIGIT, _CLS_PUNCT = range(6)
+_CLS_TABLE = np.zeros(0x110000, dtype=np.uint8)
+_CLS_TABLE[:128] = _CLS_PUNCT
+_CLS_TABLE[65:91] = _CLS_UPPER
+_CLS_TABLE[97:123] = _CLS_LOWER
+_CLS_TABLE[48:58] = _CLS_DIGIT
+_CLS_TABLE[_WS_TABLE] = _CLS_WS
+assert bool(np.array_equal(_CLS_TABLE == _CLS_WS, _WS_TABLE))
 
-@dataclass
+
+@dataclass(slots=True)
 class Span:
     """A detected candidate span (the quad-box analog, SURVEY.md §1.3)."""
 
@@ -285,7 +301,8 @@ def detect_page(
     cp = codepoints(page)
     if cp.size == 0:
         return []
-    ws = ws_mask(cp)
+    cls = _CLS_TABLE[cp]
+    ws = cls == _CLS_WS  # == ws_mask(cp), asserted at import
     tstarts, tends = _token_runs(~ws)
     n = tstarts.size
     if n == 0:
@@ -296,11 +313,13 @@ def detect_page(
     # traffic is minimized: per-token sums come from np.add.reduceat over
     # interleaved token boundaries (never materializing cumsum arrays), and
     # `alpha` is derived arithmetically — token chars are all non-ws, so
-    # alpha = len - digit - punct by the class definitions.
-    upper = (cp >= 65) & (cp <= 90)
-    letter = upper | ((cp >= 97) & (cp <= 122))
-    digit = (cp >= 48) & (cp <= 57)
-    punct = (cp < 128) & ~letter & ~digit & ~ws
+    # alpha = len - digit - punct by the class definitions. The five class
+    # masks derive from ONE uint8 table gather (byte-identical to the old
+    # uint32 comparison chain — each code reproduces its old predicate).
+    upper = cls == _CLS_UPPER
+    letter = upper | (cls == _CLS_LOWER)
+    digit = cls == _CLS_DIGIT
+    punct = cls == _CLS_PUNCT
 
     ridx = np.empty(2 * n, dtype=np.int64)
     ridx[0::2] = tstarts

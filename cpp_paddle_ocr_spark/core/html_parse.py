@@ -60,7 +60,7 @@ _TAG_RE = re.compile(
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One candidate block: contiguous visible text between block boundaries."""
 
@@ -107,7 +107,7 @@ def parse_blocks(doc: str, max_candidates: int = MAX_CANDIDATES) -> list[Block]:
         nonlocal cur
         if skip_depth > 0 or s >= e:
             return
-        if not doc[s:e].strip() and cur is None:
+        if cur is None and not doc[s:e].strip():
             return  # don't open a block on pure whitespace
         if cur is None:
             if len(blocks) >= max_candidates:
@@ -121,17 +121,17 @@ def parse_blocks(doc: str, max_candidates: int = MAX_CANDIDATES) -> list[Block]:
 
     lower_memo: dict[str, str] = {}
     for m in _TAG_RE.finditer(doc):
-        ms = m.start()
+        ms, me = m.span()
         if pos < ms:
             add_text(pos, ms)
-        pos = m.end()
-        raw_name = m.group(2)
+        pos = me
+        close_slash, raw_name = m.group(1, 2)
         if raw_name is None:
             continue  # comment / CDATA / doctype / nameless tag
         name = lower_memo.get(raw_name)
         if name is None:
             name = lower_memo[raw_name] = raw_name.lower()
-        closing = m.group(1) == "/"
+        closing = close_slash == "/"
         if name in SKIP_TAGS:
             if closing:
                 if skip_depth > 0:
