@@ -10,8 +10,9 @@ oracle agree bit-for-bit with no float rounding contract (the same
 discipline as ``clustering.verified_pairs``'s cross-multiplied Jaccard).
 
 Scale shape (100 TB / 10^10-node graph): each iteration is ONE shuffle —
-edges (pre-joined once with out-degrees and eagerly checkpointed) join the
-current rank vector on src, then hash-aggregate contributions by dst. The
+edges (out-degree attached by one window pass and eagerly checkpointed)
+join the current rank vector on src, then hash-aggregate contributions by
+dst. The
 fixed-count loop references each round's rank vector exactly once, so the
 unrolled lineage is LINEAR and the default 5 rounds run as one job —
 round 6 removed the per-iteration eager localCheckpoint (pure fixed
@@ -55,22 +56,25 @@ def pagerank(
     with d = ``PR_DAMP_PCT``. Callers pass a deduplicated, self-loop-free
     edge list; dangling mass leaks (disclosed above). Initial rank is
     ``PR_SCALE`` for every node that appears as a src or dst."""
-    # materialize the edge list FIRST: nodes, outdeg and weighted all
-    # derive from it, and Catalyst has no cross-branch reuse — without
-    # this one checkpoint the caller's source table is re-scanned once
-    # per derived frame at plan time (CLAUDE.md #13)
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
+    from pyspark.sql import Window
+
+    # out-degree as a WINDOW over the edge frame, not an agg + self-join:
+    # the join form needed the edge list checkpointed first (its subtree
+    # fed both join sides, CLAUDE.md #13), i.e. THREE eager setup jobs
+    # (e, nodes, weighted). The window computes deg in the same pass, so
+    # one checkpoint materializes the reusable (src, dst, deg) frame and
+    # `nodes` derives from it — two setup jobs, one fewer join. Round-6
+    # A/B at sf1: pagerank 0.71x, crawl_schedule 0.78x, identical rows.
+    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    weighted = ed.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("src"))
     ).localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        weighted.select(F.col("src").alias("node"))
+        .unionByName(weighted.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # one reusable (src, dst, deg) frame: re-read every iteration
-    weighted = e.join(outdeg, "src").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
     for i in range(iters):
         contrib = (
