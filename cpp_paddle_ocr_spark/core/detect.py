@@ -250,19 +250,25 @@ def _page_arrays(doc: str, blocks: list[Block]) -> tuple[str, _PageMeta]:
     blk_pstart: list[int] = []
     blk_ids: list[int] = []
     blk_hint: list[bool] = []
+    # method lookups hoisted out of the per-segment loop (segment counts run
+    # to tens of thousands on block-heavy pages)
+    t_app = texts.append
+    sp_app = seg_pstart.append
+    sd_app = seg_dstart.append
+    sl_app = seg_link.append
     pos = 0
     for bi, block in enumerate(blocks):
         if bi > 0:
-            texts.append("\n")
+            t_app("\n")
             pos += 1
         blk_pstart.append(pos)
         blk_ids.append(block.block_id)
         blk_hint.append(bool(block.hint))
         for (s, e), lk in zip(block.segments, block.seg_link):
-            texts.append(doc[s:e])
-            seg_pstart.append(pos)
-            seg_dstart.append(s)
-            seg_link.append(bool(lk))
+            t_app(doc[s:e])
+            sp_app(pos)
+            sd_app(s)
+            sl_app(bool(lk))
             pos += e - s
     link_prefix = np.concatenate(
         ([0], np.cumsum(np.asarray(seg_link, dtype=np.int32)))
@@ -344,25 +350,33 @@ def detect_page(
     feats[:, 3] = psum / tok_len
     # stopword flag, fully vectorized (semantically identical to
     # `page[s:e].lower() in STOPWORDS`): only tokens of ≤ _STOP_MAXLEN pure
-    # case-folded a-z chars can match, and those pack into one int64 each
+    # case-folded a-z chars can match, and those pack into one int64 each.
+    # The pack loop runs over the ELIGIBLE tokens only (compressed via
+    # nonzero — ineligible packed values were always discarded by the
+    # `eligible &` mask below), which also licenses two simplifications:
+    # eligible chars are pure A-Za-z, so casefold is `| 32` (no range test)
+    # and the 5-bit field is 1..26 by construction (no clip). Chars gathered
+    # past a token's end can be anything (clamped index) — their garbage
+    # contribution is discarded by the has_k `where`, exactly as before.
     eligible = (tok_len <= _STOP_MAXLEN) & (seg_sum(letter) == tok_len)
-    packed = np.zeros(n, dtype=np.int64)
-    tok_len_i = tends - tstarts
-    last = cp.size - 1
-    for k in range(_STOP_MAXLEN):
-        has_k = tok_len_i > k
-        ck = cp[np.minimum(tstarts + k, last)].astype(np.int64)
-        ck = np.where((ck >= 65) & (ck <= 90), ck + 32, ck) - 96  # casefold
-        packed = np.where(has_k, (packed << 5) | np.clip(ck, 0, 31), packed)
-    # membership via searchsorted on the sorted packed table — identical to
-    # np.isin (whose in1d path re-sorts both sides per call; measured ~4% of
-    # kernel time across det+cls in the round-6 profile)
-    j = np.minimum(
-        _STOPWORDS_PACKED.searchsorted(packed), _STOPWORDS_PACKED.size - 1
-    )
-    feats[:, 4] = np.where(
-        eligible & (_STOPWORDS_PACKED[j] == packed), 1.0, 0.0
-    )
+    feats[:, 4] = 0.0
+    el = np.nonzero(eligible)[0]
+    if el.size:
+        ts_el = tstarts[el]
+        len_el = (tends[el] - ts_el).astype(np.int64)
+        packed = np.zeros(el.size, dtype=np.int64)
+        last = cp.size - 1
+        for k in range(int(len_el.max())):
+            has_k = len_el > k
+            ck = (cp[np.minimum(ts_el + k, last)] | 32).astype(np.int64) - 96
+            packed = np.where(has_k, (packed << 5) | ck, packed)
+        # membership via searchsorted on the sorted packed table — identical
+        # to np.isin (whose in1d path re-sorts both sides per call; measured
+        # ~4% of kernel time across det+cls in the round-6 profile)
+        j = np.minimum(
+            _STOPWORDS_PACKED.searchsorted(packed), _STOPWORDS_PACKED.size - 1
+        )
+        feats[el[_STOPWORDS_PACKED[j] == packed], 4] = 1.0
     feats[:, 5] = seg_sum(upper) / tok_len
     # link/hint from per-segment/per-block metadata (tokens never cross a
     # block, so the hint flag is the block's; link = any <a>-segment overlap)
