@@ -141,13 +141,16 @@ def test_span_dedup_no_window_no_cartesian(spark):
 
 
 def test_winnow_sketch_single_aggregate_no_join(spark):
-    """Winnowing selection is per-document: one min-struct aggregate keyed
-    by (doc, window), no joins, no windows, one scan."""
+    """Winnowing selection is per-document: one doc-keyed sliding-window
+    min over gram positions (round 6 — replaces the w× membership explode,
+    A/B 0.72x), no joins, one scan. Exactly one Generate: the gram
+    explode; a second would mean the membership explode came back."""
     from cpp_paddle_ocr_spark.operators import dedup
 
     plan = plan_of(dedup.QUERIES["winnow_sketch"](spark, SF))
     assert "Join" not in plan
-    assert "Window" not in plan
+    assert "Window" in plan
+    assert plan.count("Generate") == 1
     assert plan.count("Scan parquet") == 1
 
 
