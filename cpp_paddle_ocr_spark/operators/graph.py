@@ -65,6 +65,12 @@ def pagerank(
     # one checkpoint materializes the reusable (src, dst, deg) frame and
     # `nodes` derives from it — two setup jobs, one fewer join. Round-6
     # A/B at sf1: pagerank 0.71x, crawl_schedule 0.78x, identical rows.
+    # Skew note: the window keys on src, so a pathological super-source
+    # (one page with 10^8 outlinks) sorts its edges in one task; callers
+    # pass deduplicated page-level edge lists where out-degree is bounded
+    # by a page's link budget — per-dst IN-degree skew (the hub shape
+    # PageRank exists to measure) lands on the per-round aggregate, which
+    # map-side combines, not here.
     ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     weighted = ed.withColumn(
         "deg", F.count("*").over(Window.partitionBy("src"))
